@@ -1,0 +1,104 @@
+"""ctypes bindings to the reference ggml-quants kernels, used ONLY as a test
+oracle for bit-exact parity of our numpy quant codecs. The reference sources
+are compiled in-place from the read-only mount; nothing is copied into this
+repository and the oracle is not part of the shipped framework.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_REF = Path("/root/reference")
+_SO = Path("/tmp/libggml_quants_oracle.so")
+
+_lib = None
+
+
+def get_oracle():
+    """Compile (once) and load the reference quant kernels; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    shim = Path("/tmp/ggml_oracle_shim.c")
+    if not _SO.exists() or not shim.exists():
+        if not (_REF / "ggml-quants.c").exists():
+            return None
+        # ggml-quants.c uses the fp16->fp32 lookup table normally defined in
+        # ggml.c; provide it here with a constructor that fills it in.
+        shim.write_text(
+            """
+#include <stdint.h>
+#include <string.h>
+float ggml_table_f32_f16[1 << 16];
+static float f16_to_f32(uint16_t h) {
+    uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+    uint32_t em = h & 0x7fff;
+    uint32_t bits;
+    if (em == 0) { bits = sign; }
+    else if ((em >> 10) == 0) {            /* subnormal */
+        int e = -1; uint32_t m = em;
+        do { e++; m <<= 1; } while ((m & 0x400) == 0);
+        bits = sign | ((uint32_t)(127 - 15 - e) << 23) | ((m & 0x3ff) << 13);
+    } else if ((em >> 10) == 0x1f) {       /* inf/nan */
+        bits = sign | 0x7f800000 | ((em & 0x3ff) << 13);
+    } else {
+        bits = sign | (((em >> 10) + 127 - 15) << 23) | ((em & 0x3ff) << 13);
+    }
+    float out; memcpy(&out, &bits, 4); return out;
+}
+__attribute__((constructor)) static void init_table(void) {
+    for (uint32_t i = 0; i < (1u << 16); i++) ggml_table_f32_f16[i] = f16_to_f32((uint16_t)i);
+}
+"""
+        )
+        try:
+            subprocess.run(
+                [
+                    "gcc", "-O2", "-shared", "-fPIC", f"-I{_REF}",
+                    str(_REF / "ggml-quants.c"), str(shim), "-o", str(_SO),
+                ],
+                check=True,
+                capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        _lib = ctypes.CDLL(str(_SO))
+    except OSError:
+        return None
+    return _lib
+
+
+_FMT = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "q2_K", "q3_K", "q4_K", "q5_K", "q6_K", "q8_K"]
+
+
+def ref_quantize(name: str, x: np.ndarray, block_bytes: int, block_elems: int) -> np.ndarray:
+    lib = get_oracle()
+    assert lib is not None
+    fn = getattr(lib, f"quantize_row_{name}_reference")
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.zeros(x.size // block_elems * block_bytes, dtype=np.uint8)
+    fn(
+        x.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(x.size),
+    )
+    return out
+
+
+def ref_dequantize(name: str, raw: np.ndarray, n: int) -> np.ndarray:
+    lib = get_oracle()
+    assert lib is not None
+    fn = getattr(lib, f"dequantize_row_{name}")
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.zeros(n, dtype=np.float32)
+    fn(
+        raw.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_int(n),
+    )
+    return out
