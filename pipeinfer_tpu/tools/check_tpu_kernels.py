@@ -1,0 +1,64 @@
+"""Real-hardware smoke check of the Pallas quantized-matmul kernels.
+
+Run on a machine with a TPU attached:
+
+    python -m pipeinfer_tpu.tools.check_tpu_kernels
+
+Compares the fused kernel against the jnp dequant golden path for every
+supported format and prints timing. (CI covers the same kernels in
+interpreter mode; this script is the real-silicon check.)
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from ..quant import pack
+    from ..ops import qmatmul as _q  # noqa: F401  (module import for attrs)
+    from ..ops.qmatmul import qmatmul, to_device
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})")
+    rng = np.random.default_rng(0)
+
+    n, k, m = 1024, 2048, 8
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    results = {}
+    for qtype in pack.FORMAT_INFO:
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        pw = pack.pack_array(w, qtype)
+        qt = to_device(pw)
+        # golden on host (numpy) to avoid per-format fallback compiles
+        want = x @ pack.unpack_to_float(pw).T
+        t0 = time.perf_counter()
+        got = qmatmul(x, qt, prefer_pallas=True)
+        got.block_until_ready()
+        compile_s = time.perf_counter() - t0
+        # steady-state timing
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            got = qmatmul(x, qt, prefer_pallas=True)
+        got.block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        err = np.abs(np.asarray(got) - want).max() / (np.abs(want).max() + 1e-6)
+        ok = err < 0.02
+        results[qtype.name] = ok
+        gbps = qt.nbytes() / dt / 1e9
+        print(
+            f"{qtype.name:6s} err={err:.5f} {'OK ' if ok else 'FAIL'} "
+            f"compile={compile_s:.2f}s steady={dt*1e6:.0f}us ~{gbps:.0f}GB/s"
+        )
+    if not all(results.values()):
+        raise SystemExit(1)
+    print("all kernels OK on", dev.platform)
+
+
+if __name__ == "__main__":
+    main()
