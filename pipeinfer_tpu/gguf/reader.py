@@ -198,8 +198,14 @@ class GGUFReader:
         return flat.reshape(info.shape)
 
     def close(self):
-        self._mv.release()
-        self._mmap.close()
+        """Release the mapping. If zero-copy tensor views are still alive the
+        mmap stays open until they are garbage-collected (safe: pages are
+        read-only); we just close the fd."""
+        try:
+            self._mv.release()
+            self._mmap.close()
+        except BufferError:
+            pass
         self._file.close()
 
     def __enter__(self):

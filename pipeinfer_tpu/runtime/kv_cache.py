@@ -1,0 +1,245 @@
+"""Sequence-aware KV cache with tree attention, as jitted device ops.
+
+TPU-native re-design of the reference's cell-based KV cache
+(ref: llama.cpp:1292-1338 `llama_kv_cell`/`llama_kv_cache`; seq ops
+:9238-9359; per-token multi-seq attention mask :5200-5240):
+
+- fixed-size cell arrays (static shapes for XLA): K/V of [L, C, KVH, D];
+- per-cell metadata ON DEVICE: ``pos`` int32 [C] (-1 = free) and a seq-id
+  **bitmask** ``seq`` uint32 [C, SW] (up to 32*SW live sequence slots) —
+  the TPU equivalent of the reference's per-cell ``set<seq_id>``;
+- ``seq_cp`` is zero-copy prefix sharing (sets a bit) exactly like the
+  reference — tree speculation branches share prompt cells;
+- all mutations are jitted index updates; the attention mask is computed
+  on device from (pos, seq) so speculation rollback/verify never round-trips
+  to the host;
+- context shifting (`seq_shift`) re-rotates cached K by the position delta,
+  the counterpart of the lazily-applied K_shift rope
+  (ref: llama.cpp:3495-3544 `llm_build_k_shift`).
+
+A host-side mirror of the metadata lives in runtime.context for slot
+allocation decisions; device arrays are the source of truth for attention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import apply_rope
+
+SEQ_WORDS = 2  # up to 64 concurrent sequence slots
+MASK_VALUE = -1e9  # additive mask (finite to avoid exp(-inf - -inf) NaN)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # [L, C, KVH, D]
+    v: jax.Array  # [L, C, KVH, D]
+    pos: jax.Array  # int32 [C], -1 = free
+    seq: jax.Array  # uint32 [C, SEQ_WORDS] membership bitmask
+
+    def tree_flatten(self):
+        return (self.k, self.v, self.pos, self.seq), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def n_cells(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def n_layers(self) -> int:
+        return self.k.shape[0]
+
+
+def create(n_layers: int, n_cells: int, n_kv_heads: int, head_dim: int, dtype=jnp.bfloat16) -> KVCache:
+    return KVCache(
+        k=jnp.zeros((n_layers, n_cells, n_kv_heads, head_dim), dtype),
+        v=jnp.zeros((n_layers, n_cells, n_kv_heads, head_dim), dtype),
+        pos=jnp.full((n_cells,), -1, jnp.int32),
+        seq=jnp.zeros((n_cells, SEQ_WORDS), jnp.uint32),
+    )
+
+
+def _seq_bit(seq_id: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """seq id -> (word index, bit mask)."""
+    return seq_id // 32, (jnp.uint32(1) << (seq_id % 32).astype(jnp.uint32))
+
+
+def _member(seq: jax.Array, seq_id: jax.Array) -> jax.Array:
+    """[C] bool: does each cell belong to seq_id (scalar)?"""
+    w, b = _seq_bit(seq_id)
+    return (seq[:, w] & b) != 0
+
+
+# ---------------------------------------------------------------------------
+# Mutations (all functional; callers rebuild KVCache via dataclasses.replace)
+# ---------------------------------------------------------------------------
+
+
+def write_tokens(
+    cache: KVCache,
+    layer: jax.Array | int,
+    cell_idx: jax.Array,  # int32 [T]
+    k_new: jax.Array,  # [T, KVH, D]
+    v_new: jax.Array,
+) -> KVCache:
+    """Store K/V rows for one layer at the given cells."""
+    k = cache.k.at[layer, cell_idx].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[layer, cell_idx].set(v_new.astype(cache.v.dtype))
+    return dataclasses.replace(cache, k=k, v=v)
+
+
+def write_meta(
+    cache: KVCache,
+    cell_idx: jax.Array,  # int32 [T]
+    pos: jax.Array,  # int32 [T]
+    seq_id: jax.Array,  # int32 [T]
+    valid: jax.Array | None = None,  # bool [T] (False for padding tokens)
+) -> KVCache:
+    """Claim cells for the new tokens: set pos, seq membership = {seq_id}."""
+    w, b = _seq_bit(seq_id)
+    seq_rows = jnp.zeros((cell_idx.shape[0], SEQ_WORDS), jnp.uint32)
+    seq_rows = seq_rows.at[jnp.arange(cell_idx.shape[0]), w].set(b)
+    if valid is not None:
+        pos = jnp.where(valid, pos, cache.pos[cell_idx])
+        seq_rows = jnp.where(valid[:, None], seq_rows, cache.seq[cell_idx])
+    new_pos = cache.pos.at[cell_idx].set(pos)
+    new_seq = cache.seq.at[cell_idx].set(seq_rows)
+    return dataclasses.replace(cache, pos=new_pos, seq=new_seq)
+
+
+def seq_rm(cache: KVCache, seq_id, p0, p1) -> KVCache:
+    """Remove seq membership in [p0, p1); free cells with no members left
+    (ref: llama_kv_cache_seq_rm, llama.cpp:9245-9268). p1 < 0 means +inf."""
+    seq_id = jnp.asarray(seq_id, jnp.int32)
+    p0 = jnp.asarray(p0, jnp.int32)
+    p1 = jnp.asarray(p1, jnp.int32)
+    p1 = jnp.where(p1 < 0, jnp.iinfo(jnp.int32).max, p1)
+    in_range = (cache.pos >= p0) & (cache.pos < p1)
+    hit = _member(cache.seq, seq_id) & in_range
+    w, b = _seq_bit(seq_id)
+    cleared = cache.seq.at[:, w].set(jnp.where(hit, cache.seq[:, w] & ~b, cache.seq[:, w]))
+    empty = jnp.all(cleared == 0, axis=1)
+    new_pos = jnp.where(empty, -1, cache.pos)
+    return dataclasses.replace(cache, seq=cleared, pos=new_pos)
+
+
+def seq_cp(cache: KVCache, src, dst, p0, p1) -> KVCache:
+    """Share cells of src with dst in [p0, p1) — zero-copy, just a bit-OR
+    (ref: llama_kv_cache_seq_cp, llama.cpp:9270-9288)."""
+    src = jnp.asarray(src, jnp.int32)
+    dst = jnp.asarray(dst, jnp.int32)
+    p0 = jnp.asarray(p0, jnp.int32)
+    p1 = jnp.asarray(p1, jnp.int32)
+    p1 = jnp.where(p1 < 0, jnp.iinfo(jnp.int32).max, p1)
+    hit = _member(cache.seq, src) & (cache.pos >= p0) & (cache.pos < p1)
+    w, b = _seq_bit(dst)
+    new_word = jnp.where(hit, cache.seq[:, w] | b, cache.seq[:, w])
+    return dataclasses.replace(cache, seq=cache.seq.at[:, w].set(new_word))
+
+
+def seq_keep(cache: KVCache, seq_id) -> KVCache:
+    """Drop every sequence except seq_id; surviving cells belong only to it
+    (ref: llama_kv_cache_seq_keep, llama.cpp:9290-9307)."""
+    seq_id = jnp.asarray(seq_id, jnp.int32)
+    keep = _member(cache.seq, seq_id)
+    w, b = _seq_bit(seq_id)
+    new_seq = jnp.zeros_like(cache.seq)
+    new_seq = new_seq.at[:, w].set(jnp.where(keep, b, jnp.uint32(0)))
+    new_pos = jnp.where(keep, cache.pos, -1)
+    return dataclasses.replace(cache, seq=new_seq, pos=new_pos)
+
+
+def seq_shift(
+    cache: KVCache,
+    seq_id,
+    p0,
+    p1,
+    delta,
+    *,
+    rope_dims: int,
+    rope_mode: str = "norm",
+    freq_base: float = 10000.0,
+    freq_scale: float = 1.0,
+) -> KVCache:
+    """Shift positions by delta in [p0, p1) and re-rotate cached K by the
+    same delta (ref: llama_kv_cache_seq_shift :9348-9359 + K_shift graph op
+    llama.cpp:3495-3544). Cells shifted below pos 0 are freed."""
+    seq_id = jnp.asarray(seq_id, jnp.int32)
+    p0 = jnp.asarray(p0, jnp.int32)
+    p1 = jnp.asarray(p1, jnp.int32)
+    p1 = jnp.where(p1 < 0, jnp.iinfo(jnp.int32).max, p1)
+    hit = _member(cache.seq, seq_id) & (cache.pos >= p0) & (cache.pos < p1)
+    new_pos = jnp.where(hit, cache.pos + delta, cache.pos)
+
+    # rotate K of affected cells by delta across all layers:
+    # [L, C, KVH, D] -> rope with per-cell angle delta (0 where unaffected)
+    l_, c, kvh, d = cache.k.shape
+    per_cell_delta = jnp.where(hit, jnp.asarray(delta, jnp.int32), 0)
+    k2 = cache.k.reshape(l_ * c, kvh, d)
+    deltas = jnp.tile(per_cell_delta, (l_,))
+    k_rot = apply_rope(
+        k2, deltas, rope_dims, mode=rope_mode, freq_base=freq_base, freq_scale=freq_scale
+    ).reshape(l_, c, kvh, d)
+
+    dropped = hit & (new_pos < 0)
+    final_pos = jnp.where(dropped, -1, new_pos)
+    new_seq = jnp.where(dropped[:, None], jnp.zeros_like(cache.seq), cache.seq)
+    return dataclasses.replace(cache, k=k_rot, pos=final_pos, seq=new_seq)
+
+
+def clear(cache: KVCache) -> KVCache:
+    return dataclasses.replace(
+        cache,
+        pos=jnp.full_like(cache.pos, -1),
+        seq=jnp.zeros_like(cache.seq),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Attention mask (tree attention)
+# ---------------------------------------------------------------------------
+
+
+def attn_mask(cache: KVCache, tok_pos: jax.Array, tok_seq: jax.Array) -> jax.Array:
+    """Additive mask [T, C]: token t attends cell c iff c belongs to t's
+    sequence and cell_pos <= tok_pos (causal). Per-token seq membership is
+    what makes draft-tree branches attend only their own prefix
+    (ref: llama.cpp:5200-5240 graph callback mask)."""
+    words = jnp.take(cache.seq, tok_seq // 32, axis=1)  # [C, T]
+    bits = (words >> (tok_seq % 32).astype(jnp.uint32)[None, :]) & 1
+    visible = (bits.T != 0) & (cache.pos[None, :] <= tok_pos[:, None]) & (cache.pos[None, :] >= 0)
+    return jnp.where(visible, 0.0, MASK_VALUE).astype(jnp.float32)
+
+
+def attention(
+    q: jax.Array,  # [T, H, D]
+    k_cache: jax.Array,  # [C, KVH, D]
+    v_cache: jax.Array,  # [C, KVH, D]
+    mask: jax.Array,  # [T, C] additive
+    *,
+    scale: float,
+) -> jax.Array:
+    """Dense masked SDPA over the whole cell array (GQA-aware).
+
+    C is static so XLA sees fixed shapes; free cells are masked. A Pallas
+    flash/paged kernel can swap in here for long contexts."""
+    t, h, d = q.shape
+    c, kvh, _ = k_cache.shape
+    gsize = h // kvh
+    qf = q.astype(jnp.float32).reshape(t, kvh, gsize, d)
+    kf = k_cache.astype(jnp.float32)
+    vf = v_cache.astype(jnp.float32)
+    scores = jnp.einsum("tkgd,ckd->tkgc", qf, kf) * scale
+    scores = scores + mask[:, None, None, :]
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("tkgc,ckd->tkgd", p, vf)
+    return out.reshape(t, h, d)

@@ -1,0 +1,160 @@
+"""Synthetic tiny-model GGUF builders for tests and benchmarks.
+
+The counterpart of the reference's fixture pattern (vocab-only GGUFs,
+tests/CMakeLists.txt:25-40) extended to full tiny models, plus an HF→GGUF
+weight exporter used for logit-parity tests against transformers.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from ..gguf.constants import GGMLQuantType, Keys
+from ..gguf.writer import GGUFWriter
+
+
+def permute_for_ggml_rope(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF rotate-half layout -> ggml adjacent-pair layout for q/k weights
+    (the inverse convention of convert.py permute(); independent impl)."""
+    out_dim = w.shape[0]
+    head_dim = out_dim // n_head
+    w4 = w.reshape(n_head, 2, head_dim // 2, -1)
+    return np.ascontiguousarray(w4.swapaxes(1, 2).reshape(w.shape))
+
+
+def write_llama_gguf(
+    path: str | Path,
+    weights: dict[str, np.ndarray],
+    *,
+    n_layers: int,
+    n_embd: int,
+    n_heads: int,
+    n_kv_heads: int,
+    n_ff: int,
+    n_vocab: int,
+    rope_base: float = 10000.0,
+    norm_eps: float = 1e-5,
+    n_ctx: int = 2048,
+    qtype: GGMLQuantType = GGMLQuantType.F32,
+    quantize_2d_only: bool = True,
+    vocab_tokens: list[str] | None = None,
+):
+    """weights uses our slot names: tok_embd, output, output_norm, and
+    layers.<i>.<slot> with slots from models.llama.LAYER_TENSOR_MAP values."""
+    w = GGUFWriter(path, "llama")
+    w.add_arch_kv(Keys.EMBEDDING_LENGTH, n_embd)
+    w.add_arch_kv(Keys.BLOCK_COUNT, n_layers)
+    w.add_arch_kv(Keys.HEAD_COUNT, n_heads)
+    w.add_arch_kv(Keys.HEAD_COUNT_KV, n_kv_heads)
+    w.add_arch_kv(Keys.FEED_FORWARD_LENGTH, n_ff)
+    w.add_arch_kv(Keys.CONTEXT_LENGTH, n_ctx)
+    w.add_arch_kv(Keys.ROPE_DIMENSION_COUNT, n_embd // n_heads)
+    w.add_arch_kv(Keys.ROPE_FREQ_BASE, float(rope_base))
+    w.add_arch_kv(Keys.LAYER_NORM_RMS_EPS, float(norm_eps))
+    w.add_kv("general.vocab_size", n_vocab)
+    if vocab_tokens is not None:
+        w.add_kv(Keys.TOKENIZER_MODEL, "llama")
+        w.add_kv(Keys.TOKENIZER_LIST, vocab_tokens)
+        w.add_kv(Keys.TOKENIZER_SCORES, np.zeros(len(vocab_tokens), dtype=np.float32))
+        w.add_kv(Keys.TOKENIZER_TOKEN_TYPE, np.ones(len(vocab_tokens), dtype=np.int32))
+
+    slot_to_gname = {
+        "tok_embd": "token_embd.weight",
+        "output_norm": "output_norm.weight",
+        "output": "output.weight",
+    }
+    layer_slot_to_suffix = {
+        "attn_norm": "attn_norm.weight",
+        "wq": "attn_q.weight",
+        "wk": "attn_k.weight",
+        "wv": "attn_v.weight",
+        "wo": "attn_output.weight",
+        "ffn_norm": "ffn_norm.weight",
+        "w_gate": "ffn_gate.weight",
+        "w_down": "ffn_down.weight",
+        "w_up": "ffn_up.weight",
+    }
+    for name, arr in weights.items():
+        if name.startswith("layers."):
+            _, idx, slot = name.split(".")
+            gname = f"blk.{idx}.{layer_slot_to_suffix[slot]}"
+        else:
+            gname = slot_to_gname[name]
+        qt = qtype
+        if quantize_2d_only and (arr.ndim != 2 or arr.shape[-1] % 256 != 0):
+            qt = GGMLQuantType.F32
+        w.add_tensor(gname, arr.astype(np.float32), qtype=qt)
+    w.write()
+
+
+def random_llama_weights(
+    rng: np.random.Generator,
+    *,
+    n_layers: int,
+    n_embd: int,
+    n_heads: int,
+    n_kv_heads: int,
+    n_ff: int,
+    n_vocab: int,
+    scale: float = 0.08,
+) -> dict[str, np.ndarray]:
+    head_dim = n_embd // n_heads
+    kv_dim = n_kv_heads * head_dim
+
+    def r(*shape):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    w = {
+        "tok_embd": r(n_vocab, n_embd),
+        "output_norm": np.ones(n_embd, np.float32),
+        "output": r(n_vocab, n_embd),
+    }
+    for i in range(n_layers):
+        w[f"layers.{i}.attn_norm"] = np.ones(n_embd, np.float32)
+        w[f"layers.{i}.wq"] = r(n_embd, n_embd)
+        w[f"layers.{i}.wk"] = r(kv_dim, n_embd)
+        w[f"layers.{i}.wv"] = r(kv_dim, n_embd)
+        w[f"layers.{i}.wo"] = r(n_embd, n_embd)
+        w[f"layers.{i}.ffn_norm"] = np.ones(n_embd, np.float32)
+        w[f"layers.{i}.w_gate"] = r(n_ff, n_embd)
+        w[f"layers.{i}.w_up"] = r(n_ff, n_embd)
+        w[f"layers.{i}.w_down"] = r(n_embd, n_ff)
+    return w
+
+
+def build_tiny_llama(
+    path: str | Path,
+    *,
+    seed: int = 0,
+    n_layers: int = 2,
+    n_embd: int = 64,
+    n_heads: int = 4,
+    n_kv_heads: int = 2,
+    n_ff: int = 128,
+    n_vocab: int = 256,
+    qtype: GGMLQuantType = GGMLQuantType.F32,
+) -> Path:
+    rng = np.random.default_rng(seed)
+    w = random_llama_weights(
+        rng,
+        n_layers=n_layers,
+        n_embd=n_embd,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        n_ff=n_ff,
+        n_vocab=n_vocab,
+    )
+    write_llama_gguf(
+        path,
+        w,
+        n_layers=n_layers,
+        n_embd=n_embd,
+        n_heads=n_heads,
+        n_kv_heads=n_kv_heads,
+        n_ff=n_ff,
+        n_vocab=n_vocab,
+        qtype=qtype,
+    )
+    return Path(path)

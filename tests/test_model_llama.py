@@ -1,0 +1,199 @@
+"""Llama forward-pass parity vs HuggingFace transformers (float oracle),
+plus incremental-decode and KV-cache semantics tests."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pipeinfer_tpu.gguf.constants import GGMLQuantType
+from pipeinfer_tpu.models import load_model
+from pipeinfer_tpu.models import llama as mllama
+from pipeinfer_tpu.runtime import kv_cache as kv
+from pipeinfer_tpu.tools import testmodel
+
+CFG = dict(n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2, n_ff=160, n_vocab=199)
+
+
+def _forward_tokens(params, cfg, cache, tokens, pos0=0, seq=0):
+    t = len(tokens)
+    return mllama.forward(
+        params,
+        cfg,
+        cache,
+        jnp.asarray(tokens, jnp.int32),
+        jnp.arange(pos0, pos0 + t, dtype=jnp.int32),
+        jnp.full((t,), seq, jnp.int32),
+        jnp.arange(pos0, pos0 + t, dtype=jnp.int32),
+        jnp.ones((t,), bool),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = tmp_path_factory.mktemp("m") / "tiny.gguf"
+    testmodel.build_tiny_llama(path, seed=7, **CFG)
+    params, cfg = load_model(path)
+    return params, cfg
+
+
+def _hf_model():
+    torch = pytest.importorskip("torch")
+    tf = pytest.importorskip("transformers")
+    conf = tf.LlamaConfig(
+        vocab_size=CFG["n_vocab"],
+        hidden_size=CFG["n_embd"],
+        intermediate_size=CFG["n_ff"],
+        num_hidden_layers=CFG["n_layers"],
+        num_attention_heads=CFG["n_heads"],
+        num_key_value_heads=CFG["n_kv_heads"],
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        attention_bias=False,
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    model = tf.LlamaForCausalLM(conf)
+    model.eval()
+    return torch, model
+
+
+def _export_hf_to_gguf(torch, model, path):
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    w = {
+        "tok_embd": sd["model.embed_tokens.weight"],
+        "output_norm": sd["model.norm.weight"],
+        "output": sd["lm_head.weight"],
+    }
+    for i in range(CFG["n_layers"]):
+        p = f"model.layers.{i}."
+        w[f"layers.{i}.attn_norm"] = sd[p + "input_layernorm.weight"]
+        w[f"layers.{i}.wq"] = testmodel.permute_for_ggml_rope(
+            sd[p + "self_attn.q_proj.weight"], CFG["n_heads"]
+        )
+        w[f"layers.{i}.wk"] = testmodel.permute_for_ggml_rope(
+            sd[p + "self_attn.k_proj.weight"], CFG["n_kv_heads"]
+        )
+        w[f"layers.{i}.wv"] = sd[p + "self_attn.v_proj.weight"]
+        w[f"layers.{i}.wo"] = sd[p + "self_attn.o_proj.weight"]
+        w[f"layers.{i}.ffn_norm"] = sd[p + "post_attention_layernorm.weight"]
+        w[f"layers.{i}.w_gate"] = sd[p + "mlp.gate_proj.weight"]
+        w[f"layers.{i}.w_up"] = sd[p + "mlp.up_proj.weight"]
+        w[f"layers.{i}.w_down"] = sd[p + "mlp.down_proj.weight"]
+    testmodel.write_llama_gguf(path, w, **CFG)
+
+
+def test_logit_parity_with_transformers(tmp_path):
+    torch, hf = _hf_model()
+    path = tmp_path / "hf.gguf"
+    _export_hf_to_gguf(torch, hf, path)
+    params, cfg = load_model(path)
+    assert cfg.n_heads == CFG["n_heads"] and cfg.n_vocab == CFG["n_vocab"]
+
+    tokens = [3, 17, 42, 7, 101, 55, 9, 150]
+    with torch.no_grad():
+        want = hf(torch.tensor([tokens])).logits[0].numpy()
+
+    cache = kv.create(cfg.n_layers, 64, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    logits, _ = _forward_tokens(params, cfg, cache, tokens)
+    got = np.asarray(logits)
+    err = np.abs(got - want).max()
+    scale = np.abs(want).max()
+    assert err / scale < 2e-3, f"logit mismatch: max abs {err} (scale {scale})"
+    # greedy tokens must agree exactly
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_incremental_matches_oneshot(tiny_model):
+    params, cfg = tiny_model
+    tokens = [5, 9, 23, 41, 77, 12]
+    cache = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    full_logits, _ = _forward_tokens(params, cfg, cache, tokens)
+
+    cache2 = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    l1, cache2 = _forward_tokens(params, cfg, cache2, tokens[:4])
+    l2, cache2 = _forward_tokens(params, cfg, cache2, tokens[4:], pos0=4)
+    got = np.concatenate([np.asarray(l1), np.asarray(l2)])
+    np.testing.assert_allclose(got, np.asarray(full_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_padding_tokens_are_inert(tiny_model):
+    params, cfg = tiny_model
+    tokens = [5, 9, 23]
+    cache = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    want, _ = _forward_tokens(params, cfg, cache, tokens)
+
+    cache2 = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    t = jnp.asarray(tokens + [0, 0], jnp.int32)
+    padded, _ = mllama.forward(
+        params,
+        cfg,
+        cache2,
+        t,
+        jnp.asarray([0, 1, 2, 0, 0], jnp.int32),
+        jnp.zeros(5, jnp.int32),
+        jnp.asarray([0, 1, 2, 31, 31], jnp.int32),  # padding -> trash cell
+        jnp.asarray([True, True, True, False, False]),
+    )
+    np.testing.assert_allclose(np.asarray(padded)[:3], np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+def test_tree_attention_branches(tiny_model):
+    """Two branches sharing a prefix via seq_cp must each reproduce the
+    logits of their linear-sequence equivalents."""
+    params, cfg = tiny_model
+    prefix = [5, 9]
+    bA, bB = [23, 41], [77]
+
+    # linear runs
+    cache = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    wantA, _ = _forward_tokens(params, cfg, cache, prefix + bA)
+    cache = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    wantB, _ = _forward_tokens(params, cfg, cache, prefix + bB)
+
+    # tree run: prefix on seq 0, branches on seq 1 / seq 2, one batch
+    cache = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    _, cache = _forward_tokens(params, cfg, cache, prefix, seq=0)
+    cache = kv.seq_cp(cache, 0, 1, 0, -1)
+    cache = kv.seq_cp(cache, 0, 2, 0, -1)
+    toks = jnp.asarray(bA + bB, jnp.int32)
+    pos = jnp.asarray([2, 3, 2], jnp.int32)
+    seq = jnp.asarray([1, 1, 2], jnp.int32)
+    cells = jnp.asarray([2, 3, 4], jnp.int32)
+    logits, cache = mllama.forward(
+        params, cfg, cache, toks, pos, seq, cells, jnp.ones(3, bool)
+    )
+    got = np.asarray(logits)
+    np.testing.assert_allclose(got[0], np.asarray(wantA)[2], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[1], np.asarray(wantA)[3], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got[2], np.asarray(wantB)[2], rtol=2e-4, atol=2e-4)
+
+    # rollback: branch A wins -> consolidate to seq 0 like the reference's
+    # KV consolidation (speculative.cpp:585-628)
+    cache = kv.seq_rm(cache, 2, 0, -1)
+    cache = kv.seq_cp(cache, 1, 0, 0, -1)
+    cache = kv.seq_keep(cache, 0)
+    # continue on seq 0 and compare against linear run continuation
+    l_cont, _ = _forward_tokens(params, cfg, cache, [12], pos0=4)
+    cache_lin = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+    _, cache_lin = _forward_tokens(params, cfg, cache_lin, prefix + bA)
+    l_lin, _ = _forward_tokens(params, cfg, cache_lin, [12], pos0=4)
+    np.testing.assert_allclose(np.asarray(l_cont), np.asarray(l_lin), rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_model_close_to_float(tmp_path):
+    rng = np.random.default_rng(5)
+    w = testmodel.random_llama_weights(rng, n_layers=1, n_embd=256, n_heads=4,
+                                      n_kv_heads=2, n_ff=256, n_vocab=128)
+    common = dict(n_layers=1, n_embd=256, n_heads=4, n_kv_heads=2, n_ff=256, n_vocab=128)
+    testmodel.write_llama_gguf(tmp_path / "f32.gguf", w, **common)
+    testmodel.write_llama_gguf(tmp_path / "q.gguf", w, qtype=GGMLQuantType.Q8_0, **common)
+    pf, cfgf = load_model(tmp_path / "f32.gguf")
+    pq, cfgq = load_model(tmp_path / "q.gguf")
+    tokens = [1, 2, 3, 4]
+    cache = kv.create(cfgf.n_layers, 16, cfgf.n_kv_heads, cfgf.head_dim, jnp.float32)
+    lf, _ = _forward_tokens(pf, cfgf, cache, tokens)
+    cache = kv.create(cfgq.n_layers, 16, cfgq.n_kv_heads, cfgq.head_dim, jnp.float32)
+    lq, _ = _forward_tokens(pq, cfgq, cache, tokens)
+    lf, lq = np.asarray(lf), np.asarray(lq)
+    assert np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-6) < 0.05
