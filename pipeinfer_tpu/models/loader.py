@@ -31,14 +31,14 @@ _DENSE_TYPES = (
 )
 
 
-def _load_tensor(r: GGUFReader, name: str, *, dense_dtype=jnp.float32):
+def _load_tensor(r: GGUFReader, name: str, *, dense_dtype=jnp.float32, layout="k_major"):
     info = r.tensors[name]
     if info.qtype in _DENSE_TYPES or len(info.shape) != 2:
         arr = r.tensor(name)  # dequantized to float if needed
         return jnp.asarray(np.ascontiguousarray(arr), dtype=dense_dtype)
     if info.qtype in pack.FORMAT_INFO:
         pw = pack.pack(r.tensor_bytes(name), info.qtype, info.shape)
-        return to_device(pw)
+        return to_device(pw, layout=layout)
     # unsupported quant format for matmul path: dequantize to bf16 dense
     return jnp.asarray(r.tensor(name), dtype=jnp.bfloat16)
 
@@ -54,9 +54,12 @@ def load_model(path: str | Path) -> tuple[dict[str, Any], ModelConfig]:
     params: dict[str, Any] = {"layers": []}
     for gname, slot in llama.TENSOR_MAP.items():
         if gname in r.tensors:
-            params[slot] = _load_tensor(r, gname)
+            # embeddings are row-gathered (n_major); everything else matmuls
+            layout = "n_major" if slot == "tok_embd" else "k_major"
+            params[slot] = _load_tensor(r, gname, layout=layout)
     if "output" not in params:
-        params["output"] = params["tok_embd"]  # tied embeddings
+        # tied embeddings: the head matmul needs its own k_major copy
+        params["output"] = _load_tensor(r, "token_embd.weight", layout="k_major")
     for li in range(cfg.n_layers):
         lp = {}
         for suffix, slot in llama.LAYER_TENSOR_MAP.items():

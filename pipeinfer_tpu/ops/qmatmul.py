@@ -37,14 +37,23 @@ from ..quant.pack import FORMAT_INFO, PACK_GROUP, PackedWeight
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class QuantTensor:
-    """Device-side packed quantized [N, K] weight, planes stored K-major."""
+    """Device-side packed quantized [N, K] weight.
 
-    qs: jax.Array  # [K/2, N] (4/5/6-bit) | [K/4, N] (2/3-bit) | int8 [K, N]
-    qh: jax.Array | None  # [K/8, N] or [K/4, N]
-    scales: jax.Array  # f32 [K/G, N]
-    bias: jax.Array  # f32 [K/G, N]
+    Two layouts, chosen for the access pattern:
+    - "k_major" (matmul weights): planes transposed to [K-ish, N] so every
+      VMEM tile aligns and the matmul is canonical (M,K)@(K,N);
+    - "n_major" (embedding tables): planes kept [N, K-ish] so per-token row
+      gathers are sublane gathers (lane-axis gathers compile pathologically
+      on TPU — measured ~90 s for a 32k-vocab table).
+    """
+
+    qs: jax.Array
+    qh: jax.Array | None
+    scales: jax.Array
+    bias: jax.Array
     qtype: GGMLQuantType  # static
     shape: tuple[int, int]  # static (N, K)
+    layout: str = "k_major"  # static
 
     @property
     def bits(self) -> int:
@@ -64,18 +73,19 @@ class QuantTensor:
 
     def tree_flatten(self):
         children = (self.qs, self.qh, self.scales, self.bias)
-        return children, (self.qtype, self.shape)
+        return children, (self.qtype, self.shape, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
 
-def to_device(pw: PackedWeight, sharding=None) -> QuantTensor:
-    """Upload a host PackedWeight, transposing planes to K-major."""
+def to_device(pw: PackedWeight, sharding=None, layout: str = "k_major") -> QuantTensor:
+    """Upload a host PackedWeight in the requested plane layout."""
 
     def put(a):
-        a = np.ascontiguousarray(a.T)
+        if layout == "k_major":
+            a = np.ascontiguousarray(a.T)
         return jax.device_put(a, sharding) if sharding is not None else jnp.asarray(a)
 
     return QuantTensor(
@@ -85,6 +95,7 @@ def to_device(pw: PackedWeight, sharding=None) -> QuantTensor:
         bias=put(pw.bias),
         qtype=pw.qtype,
         shape=pw.shape,
+        layout=layout,
     )
 
 
@@ -123,6 +134,8 @@ def _unpack_quants_T_jnp(qt: QuantTensor) -> jax.Array:
 
 def dequant_T(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """Dequantize to W^T [K, N] (matmul-ready layout)."""
+    if qt.layout == "n_major":
+        return dequant(qt, dtype).T
     q = _unpack_quants_T_jnp(qt).astype(jnp.float32)
     s = jnp.repeat(qt.scales, qt.group, axis=0, total_repeat_length=qt.shape[1])
     b = jnp.repeat(qt.bias, qt.group, axis=0, total_repeat_length=qt.shape[1])
@@ -131,25 +144,57 @@ def dequant_T(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
 
 def dequant(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """Dequantize to [N, K]; bit-exact with quant.formats dequantize at f32."""
+    if qt.layout == "n_major":
+        q = _unpack_quants_N_jnp(qt, qt.qs, qt.qh).astype(jnp.float32)
+        s = jnp.repeat(qt.scales, qt.group, axis=1, total_repeat_length=qt.shape[1])
+        b = jnp.repeat(qt.bias, qt.group, axis=1, total_repeat_length=qt.shape[1])
+        return (s * q - b).astype(dtype)
     return dequant_T(qt, dtype).T
 
 
-def dequant_rows(qt: QuantTensor, rows: jax.Array, dtype=jnp.float32) -> jax.Array:
-    """Gather + dequantize selected rows of W (token-embedding lookup).
+def _unpack_quants_N_jnp(qt: QuantTensor, qs, qh) -> jax.Array:
+    """N-major planes (rows [R, cols]) -> integer quants [R, K] (int32)."""
+    r = qs.shape[0]
+    k = qt.shape[1]
+    bits = qt.bits
+    pg = min(PACK_GROUP, k)
+    if bits == 8:
+        return qs.astype(jnp.int32)
+    if bits in (4, 5, 6):
+        b = qs.reshape(r, k // pg, pg // 2).astype(jnp.int32)
+        q = jnp.concatenate([b & 0xF, b >> 4], axis=2)
+    else:
+        b = qs.reshape(r, k // pg, pg // 4).astype(jnp.int32)
+        q = jnp.concatenate([(b >> (2 * i)) & 3 for i in range(4)], axis=2)
+    if bits == 5:
+        h = qh.reshape(r, k // pg, pg // 8).astype(jnp.int32)
+        hb = jnp.concatenate([(h >> i) & 1 for i in range(8)], axis=2)
+        q = q | (hb << 4)
+    elif bits == 6:
+        h = qh.reshape(r, k // pg, pg // 4).astype(jnp.int32)
+        hb = jnp.concatenate([(h >> (2 * i)) & 3 for i in range(4)], axis=2)
+        q = q | (hb << 4)
+    elif bits == 3:
+        h = qh.reshape(r, k // pg, pg // 8).astype(jnp.int32)
+        hb = jnp.concatenate([(h >> i) & 1 for i in range(8)], axis=2)
+        q = q | (hb << 2)
+    return q.reshape(r, k)
 
-    Gathers along the lane (N) axis of the K-major packed planes then unpacks
-    only those rows — the TPU analogue of the reference's per-token
-    `ggml_get_rows` on quantized embeddings."""
+
+def dequant_rows(qt: QuantTensor, rows: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Gather + dequantize selected rows of W (token-embedding lookup) —
+    the TPU analogue of the reference's per-token `ggml_get_rows` on
+    quantized embeddings. Requires the "n_major" layout so the gather is a
+    cheap sublane row gather."""
+    if qt.layout != "n_major":
+        raise ValueError("dequant_rows needs an n_major QuantTensor (embedding layout)")
     flat = rows.reshape(-1)
-    sub = QuantTensor(
-        qs=qt.qs[:, flat],
-        qh=qt.qh[:, flat] if qt.qh is not None else None,
-        scales=qt.scales[:, flat],
-        bias=qt.bias[:, flat],
-        qtype=qt.qtype,
-        shape=(int(np.prod(rows.shape)), qt.shape[1]),
-    )
-    out = dequant(sub, dtype)
+    qs = qt.qs[flat]
+    qh = qt.qh[flat] if qt.qh is not None else None
+    q = _unpack_quants_N_jnp(qt, qs, qh).astype(jnp.float32)
+    s = jnp.repeat(qt.scales[flat], qt.group, axis=1, total_repeat_length=qt.shape[1])
+    b = jnp.repeat(qt.bias[flat], qt.group, axis=1, total_repeat_length=qt.shape[1])
+    out = (s * q - b).astype(dtype)
     return out.reshape(*rows.shape, qt.shape[1])
 
 
@@ -292,7 +337,7 @@ def _qmm_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256, interpret: bo
 
 def _pallas_supported(qt: QuantTensor) -> bool:
     n, k = qt.shape
-    return k % PACK_GROUP == 0 and n % 128 == 0
+    return qt.layout == "k_major" and k % PACK_GROUP == 0 and n % 128 == 0
 
 
 def qmatmul(

@@ -40,6 +40,7 @@ def write_llama_gguf(
     qtype: GGMLQuantType = GGMLQuantType.F32,
     quantize_2d_only: bool = True,
     vocab_tokens: list[str] | None = None,
+    extra_kv: dict | None = None,
 ):
     """weights uses our slot names: tok_embd, output, output_norm, and
     layers.<i>.<slot> with slots from models.llama.LAYER_TENSOR_MAP values."""
@@ -55,10 +56,16 @@ def write_llama_gguf(
     w.add_arch_kv(Keys.LAYER_NORM_RMS_EPS, float(norm_eps))
     w.add_kv("general.vocab_size", n_vocab)
     if vocab_tokens is not None:
-        w.add_kv(Keys.TOKENIZER_MODEL, "llama")
         w.add_kv(Keys.TOKENIZER_LIST, vocab_tokens)
-        w.add_kv(Keys.TOKENIZER_SCORES, np.zeros(len(vocab_tokens), dtype=np.float32))
-        w.add_kv(Keys.TOKENIZER_TOKEN_TYPE, np.ones(len(vocab_tokens), dtype=np.int32))
+        if not extra_kv or Keys.TOKENIZER_MODEL not in extra_kv:
+            w.add_kv(Keys.TOKENIZER_MODEL, "llama")
+        if not extra_kv or Keys.TOKENIZER_SCORES not in extra_kv:
+            w.add_kv(Keys.TOKENIZER_SCORES, np.zeros(len(vocab_tokens), dtype=np.float32))
+        if not extra_kv or Keys.TOKENIZER_TOKEN_TYPE not in extra_kv:
+            w.add_kv(Keys.TOKENIZER_TOKEN_TYPE, np.ones(len(vocab_tokens), dtype=np.int32))
+    if extra_kv:
+        for k, v in extra_kv.items():
+            w.add_kv(k, v)
 
     slot_to_gname = {
         "tok_embd": "token_embd.weight",
@@ -135,20 +142,45 @@ def build_tiny_llama(
     n_ff: int = 128,
     n_vocab: int = 256,
     qtype: GGMLQuantType = GGMLQuantType.F32,
+    vocab_from: str | Path | None = None,
+    weights: dict[str, np.ndarray] | None = None,
 ) -> Path:
+    """Random tiny model; with vocab_from, embeds a real SPM vocab (e.g. the
+    reference's ggml-vocab-llama.gguf fixture) so tokenization works."""
+    vocab_tokens = None
+    vocab_extra = {}
+    if vocab_from is not None:
+        from ..gguf.constants import Keys
+        from ..gguf.reader import GGUFReader
+
+        with GGUFReader(vocab_from) as r:
+            vocab_tokens = list(r.metadata[Keys.TOKENIZER_LIST])
+            vocab_extra = {
+                Keys.TOKENIZER_SCORES: np.asarray(r.metadata[Keys.TOKENIZER_SCORES], np.float32),
+                Keys.TOKENIZER_TOKEN_TYPE: np.asarray(
+                    r.metadata[Keys.TOKENIZER_TOKEN_TYPE], np.int32
+                ),
+                Keys.TOKENIZER_MODEL: r.metadata[Keys.TOKENIZER_MODEL],
+            }
+            for k in (Keys.TOKENIZER_BOS_ID, Keys.TOKENIZER_EOS_ID, Keys.TOKENIZER_UNK_ID):
+                if k in r.metadata:
+                    vocab_extra[k] = r.metadata[k]
+        n_vocab = len(vocab_tokens)
+
     rng = np.random.default_rng(seed)
-    w = random_llama_weights(
-        rng,
-        n_layers=n_layers,
-        n_embd=n_embd,
-        n_heads=n_heads,
-        n_kv_heads=n_kv_heads,
-        n_ff=n_ff,
-        n_vocab=n_vocab,
-    )
+    if weights is None:
+        weights = random_llama_weights(
+            rng,
+            n_layers=n_layers,
+            n_embd=n_embd,
+            n_heads=n_heads,
+            n_kv_heads=n_kv_heads,
+            n_ff=n_ff,
+            n_vocab=n_vocab,
+        )
     write_llama_gguf(
         path,
-        w,
+        weights,
         n_layers=n_layers,
         n_embd=n_embd,
         n_heads=n_heads,
@@ -156,5 +188,7 @@ def build_tiny_llama(
         n_ff=n_ff,
         n_vocab=n_vocab,
         qtype=qtype,
+        vocab_tokens=vocab_tokens,
+        extra_kv=vocab_extra,
     )
     return Path(path)

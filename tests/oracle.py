@@ -75,6 +75,65 @@ __attribute__((constructor)) static void init_table(void) {
 
 _FMT = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0", "q2_K", "q3_K", "q4_K", "q5_K", "q6_K", "q8_K"]
 
+# ---------------------------------------------------------------------------
+# Tokenizer oracle: the reference llama.cpp compiled single-rank (our MPI
+# ABI shim + self-delivery stub in oracle_src/) with a tiny driver that
+# tokenizes stdin lines against a vocab-only GGUF.
+# ---------------------------------------------------------------------------
+
+_TOK_BIN = Path("/tmp/pipeinfer_tok_oracle")
+_SRC = Path(__file__).parent / "oracle_src"
+
+
+def get_tok_oracle() -> Path | None:
+    if _TOK_BIN.exists():
+        return _TOK_BIN
+    if not (_REF / "llama.cpp").exists():
+        return None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        objs = []
+        try:
+            for src, cc, extra in [
+                (_REF / "ggml.c", "gcc", ["-D_GNU_SOURCE"]),
+                (_REF / "ggml-alloc.c", "gcc", []),
+                (_REF / "ggml-backend.c", "gcc", []),
+                (_REF / "ggml-quants.c", "gcc", []),
+                (_REF / "ggml-mpi.c", "gcc", []),
+                (_SRC / "mpi_stub.c", "gcc", []),
+                (_SRC / "mpi_globals.c", "gcc", []),
+                (_REF / "llama.cpp", "g++", ["-std=c++11"]),
+                (_SRC / "driver.cpp", "g++", ["-std=c++11"]),
+            ]:
+                obj = f"{td}/{src.stem}.o"
+                subprocess.run(
+                    [cc, "-O1", "-c", "-DGGML_USE_MPI", f"-I{_SRC}/include", f"-I{_REF}", *extra,
+                     str(src), "-o", obj],
+                    check=True, capture_output=True,
+                )
+                objs.append(obj)
+            subprocess.run(
+                ["g++", "-o", str(_TOK_BIN), *objs, "-lpthread", "-lm"],
+                check=True, capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    return _TOK_BIN if _TOK_BIN.exists() else None
+
+
+def ref_tokenize(vocab_gguf: str, texts: list[str], add_bos: bool = True) -> list[list[int]] | None:
+    binpath = get_tok_oracle()
+    if binpath is None:
+        return None
+    inp = "\n".join(t.replace("\n", " ") for t in texts) + "\n"
+    out = subprocess.run(
+        [str(binpath), vocab_gguf, "1" if add_bos else "0"],
+        input=inp.encode(), capture_output=True, timeout=300,
+    )
+    lines = out.stdout.decode().strip("\n").split("\n")
+    return [[int(x) for x in line.split()] for line in lines]
+
 
 def ref_quantize(name: str, x: np.ndarray, block_bytes: int, block_elems: int) -> np.ndarray:
     lib = get_oracle()

@@ -28,7 +28,7 @@ def test_dequant_jnp_bit_parity(qtype, rng):
 def test_dequant_rows(rng):
     n, k = 32, 256
     x = rng.standard_normal((n, k)).astype(np.float32)
-    qt = qmm.to_device(pack.pack_array(x, GGMLQuantType.Q4_K))
+    qt = qmm.to_device(pack.pack_array(x, GGMLQuantType.Q4_K), layout="n_major")
     import jax.numpy as jnp
 
     ids = jnp.array([[3, 7], [0, 31]])
