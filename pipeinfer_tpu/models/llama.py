@@ -48,16 +48,17 @@ def forward(
     cache: kv.KVCache,
     tokens: jax.Array,  # int32 [T]
     pos: jax.Array,  # int32 [T]
-    seq: jax.Array,  # int32 [T] sequence slot per token
+    seq: jax.Array,  # int32 [T] primary sequence slot per token
     cell_idx: jax.Array,  # int32 [T] destination cache cells
     valid: jax.Array,  # bool [T] false for padding
+    seq_bits: jax.Array | None = None,  # uint32 [T, SW] multi-seq membership
 ) -> tuple[jax.Array, kv.KVCache]:
     """One decode/prefill step. Returns (logits [T, n_vocab] f32, cache')."""
     t = tokens.shape[0]
     h = embed(tokens, params["tok_embd"])  # [T, E] f32
 
     # claim cells + mask once for all layers
-    cache = kv.write_meta(cache, cell_idx, pos, seq, valid)
+    cache = kv.write_meta(cache, cell_idx, pos, seq, valid, seq_bits)
     mask = kv.attn_mask(cache, pos, seq)
     mask = jnp.where(valid[:, None], mask, kv.MASK_VALUE)
 

@@ -38,26 +38,55 @@ def _bucket(n: int) -> int:
 
 
 @dataclasses.dataclass
+class AsyncHandle:
+    """A dispatched decode: device work in flight, logits not yet on host."""
+
+    logits: jax.Array
+    fetch: Callable[[], np.ndarray]
+    cells: np.ndarray
+
+    def ready(self) -> bool:
+        """Non-blocking completion check — the counterpart of the head's
+        llama_mpi_iprobe(SYNC_LOGITS) (ref: llama.cpp:5457-5459)."""
+        try:
+            return self.logits.is_ready()
+        except AttributeError:  # non-jax fallback
+            return True
+
+
+@dataclasses.dataclass
 class Batch:
-    """Mirror of llama_batch (tokens to decode in one step)."""
+    """Mirror of llama_batch (tokens to decode in one step). Each token may
+    belong to several sequences (tree batches); the first is primary."""
 
     tokens: list[int] = dataclasses.field(default_factory=list)
     pos: list[int] = dataclasses.field(default_factory=list)
-    seq: list[int] = dataclasses.field(default_factory=list)
+    seqs: list[list[int]] = dataclasses.field(default_factory=list)
     want_logits: list[bool] = dataclasses.field(default_factory=list)
 
-    def add(self, token: int, pos: int, seq: int, want_logits: bool = True):
+    def add(self, token: int, pos: int, seq: int | list[int], want_logits: bool = True):
         """ref: llama_batch_add (common/common.cpp:991-1011)."""
         self.tokens.append(int(token))
         self.pos.append(int(pos))
-        self.seq.append(int(seq))
+        self.seqs.append([int(seq)] if isinstance(seq, int) else [int(s) for s in seq])
         self.want_logits.append(want_logits)
+
+    def add_seq_to(self, idx: int, seq: int):
+        """Add another sequence to an already-queued token (branch split
+        sharing its prefix, ref: speculative.cpp:1027-1037)."""
+        if seq not in self.seqs[idx]:
+            self.seqs[idx].append(int(seq))
 
     def clear(self):
         self.tokens.clear()
         self.pos.clear()
-        self.seq.clear()
+        self.seqs.clear()
         self.want_logits.clear()
+
+    def copy(self) -> "Batch":
+        return Batch(
+            list(self.tokens), list(self.pos), [list(s) for s in self.seqs], list(self.want_logits)
+        )
 
     def __len__(self):
         return len(self.tokens)
@@ -102,8 +131,8 @@ class InferenceContext:
             cfg = self.cfg
 
             @functools.partial(jax.jit, donate_argnums=(1,))
-            def step(params, cache, tokens, pos, seq, cell_idx, valid):
-                return forward(params, cfg, cache, tokens, pos, seq, cell_idx, valid)
+            def step(params, cache, tokens, pos, seq, cell_idx, valid, seq_bits):
+                return forward(params, cfg, cache, tokens, pos, seq, cell_idx, valid, seq_bits)
 
             fn = step
             self._step_cache[t_pad] = fn
@@ -129,14 +158,13 @@ class InferenceContext:
 
         The synchronous analogue of llama_decode; the async pipeline engine
         in spec/ dispatches the same jitted steps without blocking."""
-        out, _ = self.decode_async(batch)
-        return out()
+        return self.decode_async(batch).fetch()
 
-    def decode_async(self, batch: Batch):
-        """Dispatch one step without blocking. Returns (fetch, cells):
-        fetch() materializes logits on host; device work proceeds meanwhile
-        (the phase-0/phase-1 split of llama_start/finish_async_decode,
-        ref: llama.h:285-290)."""
+    def decode_async(self, batch: Batch) -> "AsyncHandle":
+        """Dispatch one step without blocking. Returns an AsyncHandle whose
+        .ready() mirrors the head's MPI_Iprobe on SYNC_LOGITS and whose
+        .fetch() is phase 1 (the phase-0/phase-1 split of
+        llama_start/finish_async_decode, ref: llama.h:285-290)."""
         t0 = time.perf_counter()
         n = len(batch)
         if n == 0:
@@ -147,17 +175,24 @@ class InferenceContext:
         tokens = np.zeros(t_pad, np.int32)
         pos = np.zeros(t_pad, np.int32)
         seq = np.zeros(t_pad, np.int32)
+        seq_bits = np.zeros((t_pad, kv.SEQ_WORDS), np.uint32)
         cell_idx = np.full(t_pad, self.trash_cell, np.int32)
         valid = np.zeros(t_pad, bool)
         tokens[:n] = batch.tokens
         pos[:n] = batch.pos
-        seq[:n] = batch.seq
+        seq[:n] = [s[0] for s in batch.seqs]
+        mask64 = np.zeros(n, np.uint64)
+        for i, slist in enumerate(batch.seqs):
+            for s in slist:
+                mask64[i] |= np.uint64(1) << np.uint64(s)
+        seq_bits[:n, 0] = (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        seq_bits[:n, 1] = (mask64 >> np.uint64(32)).astype(np.uint32)
         cell_idx[:n] = cells
         valid[:n] = True
 
         # host mirror update
         self.h_pos[cells] = batch.pos
-        self.h_seq[cells] = np.uint64(1) << np.asarray(batch.seq, np.uint64)
+        self.h_seq[cells] = mask64
 
         step = self._step_fn(t_pad)
         logits, self.cache = step(
@@ -168,6 +203,7 @@ class InferenceContext:
             jnp.asarray(seq),
             jnp.asarray(cell_idx),
             jnp.asarray(valid),
+            jnp.asarray(seq_bits),
         )
 
         def fetch(_logits=logits, _n=n, _t0=t0, _isdecode=(n <= 2)):
@@ -181,7 +217,7 @@ class InferenceContext:
                 self.n_prefill += _n
             return host
 
-        return fetch, cells
+        return AsyncHandle(logits=logits, fetch=fetch, cells=cells)
 
     # -- seq ops (device + host mirror) ------------------------------------
     # Each is the counterpart of a pipelined KV transaction in the reference

@@ -101,18 +101,23 @@ def write_meta(
     cache: KVCache,
     cell_idx: jax.Array,  # int32 [T]
     pos: jax.Array,  # int32 [T]
-    seq_id: jax.Array,  # int32 [T]
+    seq_id: jax.Array,  # int32 [T] primary sequence (or sole member)
     valid: jax.Array | None = None,  # bool [T] (False for padding tokens)
+    seq_bits: jax.Array | None = None,  # uint32 [T, SEQ_WORDS] full membership
 ) -> KVCache:
-    """Claim cells for the new tokens: set pos, seq membership = {seq_id}."""
-    w, b = _seq_bit(seq_id)
-    seq_rows = jnp.zeros((cell_idx.shape[0], SEQ_WORDS), jnp.uint32)
-    seq_rows = seq_rows.at[jnp.arange(cell_idx.shape[0]), w].set(b)
+    """Claim cells for the new tokens. Membership is {seq_id} unless an
+    explicit multi-sequence bitmask is given (tree batches: a shared-prefix
+    token belongs to every branch split from it, the counterpart of the
+    reference's per-token seq_id lists, llama.h llama_batch.n_seq_id)."""
+    if seq_bits is None:
+        w, b = _seq_bit(seq_id)
+        seq_bits = jnp.zeros((cell_idx.shape[0], SEQ_WORDS), jnp.uint32)
+        seq_bits = seq_bits.at[jnp.arange(cell_idx.shape[0]), w].set(b)
     if valid is not None:
         pos = jnp.where(valid, pos, cache.pos[cell_idx])
-        seq_rows = jnp.where(valid[:, None], seq_rows, cache.seq[cell_idx])
+        seq_bits = jnp.where(valid[:, None], seq_bits, cache.seq[cell_idx])
     new_pos = cache.pos.at[cell_idx].set(pos)
-    new_seq = cache.seq.at[cell_idx].set(seq_rows)
+    new_seq = cache.seq.at[cell_idx].set(seq_bits)
     return dataclasses.replace(cache, pos=new_pos, seq=new_seq)
 
 
