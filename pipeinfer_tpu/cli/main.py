@@ -18,10 +18,15 @@ from ..tokenizer import tokenizer_from_gguf
 from .args import add_gen_args, add_model_args, add_sampling_args, read_prompt, sampling_from_args
 
 
-def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16"):
+def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16", need_tokenizer=True):
     params, cfg = load_model(model_path)
+    tok = None
     with GGUFReader(model_path) as r:
-        tok = tokenizer_from_gguf(r)
+        try:
+            tok = tokenizer_from_gguf(r)
+        except (KeyError, ValueError):
+            if need_tokenizer:
+                raise SystemExit(f"error: {model_path} has no tokenizer vocabulary")
     ctx = InferenceContext(
         params,
         cfg,

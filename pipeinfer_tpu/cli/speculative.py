@@ -1,0 +1,103 @@
+"""`pipeinfer-speculative` — asynchronous pipelined speculation driver
+(ref: examples/speculative/speculative.cpp CLI + metrics :693-730; the
+--sync mode is the lock-step baseline of examples/speculative_orig)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax.numpy as jnp
+
+from ..runtime.context import InferenceContext
+from ..sampling.samplers import SamplerState
+from ..spec.controller import PipeInferController
+from ..spec.params import SpecParams
+from ..spec.sync_spec import SyncSpeculator
+from .args import (
+    add_gen_args,
+    add_model_args,
+    add_sampling_args,
+    add_spec_args,
+    read_prompt,
+    sampling_from_args,
+)
+from .main import build_context
+
+
+def spec_from_args(args) -> SpecParams:
+    return SpecParams(
+        n_draft=args.n_draft,
+        n_parallel=args.n_parallel,
+        p_accept=args.p_accept,
+        p_split=args.p_split,
+        p_recovery=args.p_recovery,
+        p_decay=args.p_decay,
+        max_inflight=args.max_inflight,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("pipeinfer-speculative", description=__doc__)
+    add_model_args(p, draft=True)
+    add_gen_args(p)
+    add_sampling_args(p)
+    add_spec_args(p)
+    p.add_argument("--sync", action="store_true", help="lock-step baseline (speculative_orig)")
+    args = p.parse_args(argv)
+
+    ctx_tgt, tok = build_context(args.model, args.ctx_size, args.cache_dtype)
+    ctx_dft, _ = build_context(args.model_draft, args.ctx_size, args.cache_dtype, need_tokenizer=False)
+    if ctx_tgt.cfg.n_vocab != ctx_dft.cfg.n_vocab:
+        print(
+            f"warning: target vocab {ctx_tgt.cfg.n_vocab} != draft vocab {ctx_dft.cfg.n_vocab}",
+            file=sys.stderr,
+        )
+
+    sp = spec_from_args(args)
+    sampling = sampling_from_args(args)
+    prompt = read_prompt(args)
+    ids = tok.encode(prompt, add_bos=True)
+    if not args.no_display_prompt:
+        sys.stdout.write(tok.decode(ids))
+        sys.stdout.flush()
+
+    def stream(t):
+        sys.stdout.write(tok.piece(t))
+        sys.stdout.flush()
+
+    if args.sync:
+        engine = SyncSpeculator(ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id)
+        engine.generate(ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)
+        stats = engine.stats
+        metrics = None
+    else:
+        engine = PipeInferController(ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id)
+        engine.generate(ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)
+        stats = engine.stats
+        metrics = engine.metrics
+
+    sys.stdout.write("\n")
+    err = lambda s: print(s, file=sys.stderr)
+    # ref: speculative.cpp:712-730 stdout metrics
+    err(f"n_draft   = {sp.n_draft}")
+    err(f"n_predict = {stats.n_predict}")
+    err(f"n_drafted = {stats.n_drafted}")
+    err(f"n_accept  = {stats.n_accept}")
+    err(f"accept    = {100.0 * stats.accept_rate:.3f}%")
+    if metrics is not None:
+        err(f"runs      = {metrics.n_runs} ({metrics.n_canceled_runs} canceled)")
+        err(f"encode    = {metrics.encode_tps:.2f} t/s")
+        err(f"decode    = {metrics.decode_tps:.2f} t/s")
+        err(f"avg itl   = {metrics.avg_itl * 1e3:.1f} ms")
+        err(f"ttft      = {metrics.ttft_s * 1e3:.1f} ms")
+        if args.results_csv:
+            # ref: speculative.cpp:693-710 results.csv append
+            with open(args.results_csv, "a") as f:
+                f.write(metrics.csv_row() + "\n")
+    ctx_tgt.print_timings(err)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,465 @@
+"""The asynchronous PipeInfer controller.
+
+Re-design of the reference's async speculation state machine
+(ref: examples/speculative/speculative.cpp — main loop :316-679,
+run_speculation_loop :765-844, start_async_spec_run :881-1180,
+begin_async_run :1182-1275, check_for_cancel :1277-1359) as an explicit,
+testable run-state machine on top of JAX async dispatch:
+
+- a deque of in-flight AsyncRuns (microbatches dispatched to the target
+  mesh); `AsyncHandle.ready()` replaces the head's MPI iprobe;
+- while the oldest run's logits are not ready, the controller keeps
+  drafting and launching *chained* speculative runs from the assumed
+  frontier (branch 0 of the newest tree), throttled by
+  p_accept + p_adjust(iter, n_rejected);
+- each speculative run owns a block of sequence slots from a free pool
+  (ref :140-145 seq-offset pool) and copies its prefix cells zero-copy;
+- verification walks the winning branch, samples the target chain only for
+  undecided positions, consolidates accepted tree cells to sequence 0 and
+  rolls the rest back;
+- cancellation marks in-flight runs whose assumed prefix diverged from the
+  actual generation (queued work is dropped at retirement — XLA steps are
+  not abortable mid-flight, so cancellation granularity is the microbatch,
+  mirroring the reference's small-draft tuning guidance README.md:199-201);
+- a non-speculative "safety" run of the newest accepted token always
+  follows a verification, guaranteeing forward progress
+  (ref begin_non_spec_run).
+
+Position invariants:
+- positions [0, n_committed) hold decided tokens (prompt + generated);
+  the cell for position n_committed-1 may still be in flight (safety run);
+- a spec run's tree tokens occupy positions [run.base, run.base+depth);
+  branch b's token i sits at position run.base+i, and the logits at
+  branch.i_batch_tgt[i] decide position run.base+i+1;
+- the controller chains speculation down branch 0: `assumed` holds tokens
+  taken on faith beyond n_committed, `spec_base` is the next tree base.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+
+import numpy as np
+
+from ..runtime.context import AsyncHandle, Batch, InferenceContext
+from ..sampling.samplers import SamplerState, SamplingParams, sample
+from . import drafting
+from .params import SpecParams
+from .sync_spec import SpecStats, draft_sampler_proto
+
+
+@dataclasses.dataclass
+class AsyncRun:
+    """ref: seq_async_run (speculative.cpp:30-43)."""
+
+    handle: AsyncHandle
+    batch: Batch
+    branches: list[drafting.DraftBranch]  # spec only; tokens exclude root
+    base: int  # first tree position (spec) / first batch position (non-spec)
+    prefix_base: int  # committed frontier when this chain started
+    assumed_prefix: list[int]  # tokens assumed beyond prefix_base at launch
+    max_decide: int  # highest position this run's logits can decide
+    dft_base: int
+    seq_offset: int  # 0 for non-spec
+    speculative: bool
+    canceled: bool = False
+
+
+@dataclasses.dataclass
+class PipeInferMetrics:
+    """Run metrics, results.csv schema (ref: speculative.cpp:693-730)."""
+
+    ttft_s: float = 0.0
+    inter_token_s: list[float] = dataclasses.field(default_factory=list)
+    t_encode_s: float = 0.0
+    t_decode_s: float = 0.0
+    n_encoded: int = 0
+    n_decoded: int = 0
+    n_canceled_runs: int = 0
+    n_runs: int = 0
+
+    @property
+    def avg_itl(self) -> float:
+        return float(np.mean(self.inter_token_s)) if self.inter_token_s else 0.0
+
+    @property
+    def decode_tps(self) -> float:
+        return self.n_decoded / self.t_decode_s if self.t_decode_s > 0 else 0.0
+
+    @property
+    def encode_tps(self) -> float:
+        return self.n_encoded / self.t_encode_s if self.t_encode_s > 0 else 0.0
+
+    def csv_row(self) -> str:
+        return f"{self.encode_tps},{self.decode_tps},{self.avg_itl},{self.ttft_s}"
+
+
+class PipeInferController:
+    def __init__(
+        self,
+        ctx_tgt: InferenceContext,
+        ctx_dft: InferenceContext,
+        sampling: SamplingParams,
+        sp: SpecParams,
+        *,
+        eos_id: int = 2,
+    ):
+        self.tgt = ctx_tgt
+        self.dft = ctx_dft
+        self.sampling = sampling
+        self.sp = sp
+        self.eos_id = eos_id
+        self.stats = SpecStats()
+        self.metrics = PipeInferMetrics()
+
+        self.runs: deque[AsyncRun] = deque()  # newest appended right
+        n_par = sp.n_parallel
+        self.free_offsets: deque[int] = deque(
+            1 + i * n_par for i in range(sp.max_inflight)
+        )
+        self.n_rejected = 0
+
+        # generation state
+        self.prompt: list[int] = []
+        self.generated: list[int] = []
+        self.sampler = SamplerState(params=sampling)
+
+        # speculation frontier
+        self.assumed: list[int] = []
+        self.spec_base = 0  # next tree base position (target & draft symmetric)
+        self.chain_root: int | None = None
+        self.chain_root_dft_logits: np.ndarray | None = None
+        self.chain_prev_offset: int | None = None
+
+    # -- helpers ------------------------------------------------------------
+
+    @property
+    def n_committed(self) -> int:
+        return len(self.prompt) + len(self.generated)
+
+    def _token_at(self, pos: int) -> int:
+        if pos < len(self.prompt):
+            return self.prompt[pos]
+        return self.generated[pos - len(self.prompt)]
+
+    def _oldest_ready(self) -> bool:
+        return bool(self.runs) and self.runs[0].handle.ready()
+
+    # -- launches -----------------------------------------------------------
+
+    def _launch_nonspec(self, tokens: list[int], base: int):
+        """Safety/prefill run on sequence 0 (ref: begin_non_spec_run)."""
+        b = Batch()
+        for i, t in enumerate(tokens):
+            b.add(t, base + i, 0, want_logits=(i == len(tokens) - 1))
+        handle = self.tgt.decode_async(b)
+        self.runs.append(
+            AsyncRun(
+                handle=handle,
+                batch=b,
+                branches=[],
+                base=base,
+                prefix_base=self.n_committed,
+                assumed_prefix=[],
+                max_decide=base + len(tokens),
+                dft_base=base,
+                seq_offset=0,
+                speculative=False,
+            )
+        )
+        self.metrics.n_runs += 1
+
+    def _launch_spec(self, p_adjust: float) -> bool:
+        """Draft a tree at the assumed frontier and dispatch it to the
+        target (ref: start_async_spec_run). Returns False if nothing was
+        drafted (threshold) — the offset is recycled."""
+        sp = self.sp
+        offset = self.free_offsets.popleft()
+        first = not self.assumed
+        src_seq = 0 if first else self.chain_prev_offset  # branch 0 of prev run
+
+        for s in range(sp.n_parallel):
+            self.tgt.seq_rm(s + offset, 0, -1)
+            self.dft.seq_rm(s + offset, 0, -1)
+            self.tgt.seq_cp(src_seq, s + offset, 0, self.spec_base)
+            self.dft.seq_cp(src_seq, s + offset, 0, self.spec_base)
+
+        proto = draft_sampler_proto(self.sampling)
+        proto.prev = list(self.sampler.prev) + list(self.assumed)
+        branches = drafting.new_branches(sp.n_parallel, proto)
+
+        batch_tgt = Batch()
+        n_drafted, last_dft_logits = drafting.draft_tree(
+            self.dft,
+            sp,
+            branches,
+            self.chain_root,
+            self.chain_root_dft_logits,
+            seq_offset=offset,
+            dft_base=self.spec_base - 1,
+            tgt_base=self.spec_base,
+            batch_tgt=batch_tgt,
+            p_adjust=p_adjust,
+        )
+        for br in branches:
+            if br.tokens:
+                br.tokens.pop(0)  # strip chained root
+            br.prefix_tokens = list(self.assumed)
+
+        if len(batch_tgt) == 0:
+            self.free_offsets.append(offset)
+            self.n_rejected += 1
+            return False
+
+        self.stats.n_drafted += n_drafted
+        handle = self.tgt.decode_async(batch_tgt)
+        depth0 = len(branches[0].tokens)
+        max_depth = max(len(b.tokens) for b in branches if b.active)
+        self.runs.append(
+            AsyncRun(
+                handle=handle,
+                batch=batch_tgt.copy(),
+                branches=[b.copy() for b in branches],
+                base=self.spec_base,
+                prefix_base=self.n_committed,
+                assumed_prefix=list(self.assumed),
+                max_decide=self.spec_base + max_depth,
+                dft_base=self.spec_base,
+                seq_offset=offset,
+                speculative=True,
+            )
+        )
+        self.metrics.n_runs += 1
+
+        # chain down branch 0 (ref: id = drafts[0].tokens.back())
+        if depth0 > 0:
+            self.assumed.extend(branches[0].tokens)
+            self.chain_root = branches[0].tokens[-1]
+            self.chain_root_dft_logits = last_dft_logits
+            self.chain_prev_offset = offset
+            self.spec_base += depth0
+        return True
+
+    # -- cancellation -------------------------------------------------------
+
+    def check_for_cancel(self):
+        """Mark in-flight runs whose assumptions diverged
+        (ref: check_for_cancel :1277-1359)."""
+        for run in self.runs:
+            if run.canceled:
+                continue
+            if run.max_decide < self.n_committed:
+                run.canceled = True
+                continue
+            ok = True
+            for i, t in enumerate(run.assumed_prefix):
+                pos = run.prefix_base + i
+                if pos < self.n_committed and self._token_at(pos) != t:
+                    ok = False
+                    break
+            if not ok:
+                run.canceled = True
+
+    def _discard(self, run: AsyncRun):
+        self.metrics.n_canceled_runs += 1
+        if run.speculative:
+            self.free_offsets.append(run.seq_offset)
+            if self.chain_prev_offset == run.seq_offset:
+                self.chain_prev_offset = None
+
+    # -- verification -------------------------------------------------------
+
+    def _verify(self, run: AsyncRun, logits: np.ndarray, n_predict: int, stream=None) -> bool:
+        """Consume a finished run. Returns True if generation should stop."""
+        sp = self.sp
+        v0 = self.n_committed  # next undecided position
+
+        if not run.speculative:
+            if run.max_decide != v0:
+                self._discard(run)  # stale (cancel check normally catches this)
+                return False
+            t = sample(self.sampler, logits[-1])
+            self.sampler.accept(t)
+            self._accept_token(t, stream)
+            self.n_rejected = 0
+            stop = self._stopped(n_predict)
+            self._after_verify([t], 0, run, v0, stop=stop)
+            return stop
+
+        # fast-forward branches through already-decided positions
+        alive = [s for s in range(sp.n_parallel) if run.branches[s].active]
+        for i in range(v0 - run.base):
+            gt = self._token_at(run.base + i)
+            alive = [
+                s for s in alive if i < len(run.branches[s].tokens) and run.branches[s].tokens[i] == gt
+            ]
+        j = v0 - run.base - 1  # tree index whose logits decide v0
+        if not alive or j < 0 or j >= len(run.branches[alive[0]].i_batch_tgt):
+            self._discard(run)
+            return False
+
+        new_tokens: list[int] = []
+        m = 0
+        s_keep = alive[0]
+        while True:
+            idx = run.branches[alive[0]].i_batch_tgt[j]
+            t = sample(self.sampler, logits[idx])
+            self.sampler.accept(t)
+            new_tokens.append(t)
+            self._accept_token(t, stream)
+            if self._stopped(n_predict):
+                break
+            j += 1
+            matches = [
+                s for s in alive if j < len(run.branches[s].tokens) and run.branches[s].tokens[j] == t
+            ]
+            if not matches:
+                break
+            alive = matches
+            s_keep = matches[0]
+            m += 1
+            self.stats.n_accept += 1
+            if j >= len(run.branches[s_keep].i_batch_tgt):
+                break  # ran out of drafted logits
+
+        self.n_rejected = 0
+        stop = self._stopped(n_predict)
+        self._after_verify(new_tokens, m, run, v0, s_keep=s_keep, stop=stop)
+        return stop
+
+    def _accept_token(self, t: int, stream):
+        now = time.perf_counter()
+        if not self.generated:
+            self.metrics.ttft_s = now - self._t_start
+        else:
+            self.metrics.inter_token_s.append(now - self._t_last)
+        self._t_last = now
+        self.generated.append(t)
+        self.stats.n_predict += 1
+        if stream:
+            stream(t)
+
+    def _stopped(self, n_predict: int) -> bool:
+        if len(self.generated) >= n_predict:
+            return True
+        return (not self._ignore_eos) and bool(self.generated) and self.generated[-1] == self.eos_id
+
+    def _after_verify(self, new_tokens, m, run: AsyncRun, v0: int, s_keep: int = 0, stop=False):
+        """KV consolidation + safety run + frontier reset
+        (ref: speculative.cpp:585-634)."""
+        if run.speculative:
+            if m > 0:
+                self.tgt.seq_cp(s_keep + run.seq_offset, 0, v0, v0 + m)
+                self.dft.seq_cp(s_keep + run.seq_offset, 0, v0, v0 + m)
+            self._discard_cells(run)
+            self.free_offsets.append(run.seq_offset)
+            if self.chain_prev_offset == run.seq_offset:
+                self.chain_prev_offset = None
+        self.check_for_cancel()
+
+        if stop:
+            return
+        # safety run: decode the bonus token (no cell yet) on seq 0
+        bonus = self.generated[-1]
+        bonus_pos = self.n_committed - 1
+        self._launch_nonspec([bonus], bonus_pos)
+        # draft-side synchronous safety decode (ref :630-647)
+        db = Batch()
+        db.add(bonus, bonus_pos, 0)
+        self.chain_root_dft_logits = self.dft.decode(db)[0]
+        self.chain_root = bonus
+        self.chain_prev_offset = None
+        self.assumed = []
+        self.spec_base = self.n_committed
+
+    def _discard_cells(self, run: AsyncRun):
+        for s in range(self.sp.n_parallel):
+            self.tgt.seq_rm(s + run.seq_offset, 0, -1)
+            self.dft.seq_rm(s + run.seq_offset, 0, -1)
+
+    # -- main loop ----------------------------------------------------------
+
+    def generate(
+        self,
+        prompt_ids: list[int],
+        n_predict: int,
+        *,
+        ignore_eos: bool = False,
+        stream=None,
+    ) -> list[int]:
+        """ref: main loop speculative.cpp:316-679."""
+        sp = self.sp
+        self.prompt = list(prompt_ids)
+        self._ignore_eos = ignore_eos
+        self._stopped_flag = False
+        for t in prompt_ids:
+            self.sampler.accept(t, apply_grammar=False)
+
+        t_enc0 = time.perf_counter()
+        # prefill: target async (the first non-spec run), draft sync
+        self._launch_nonspec(list(prompt_ids), 0)
+        b = Batch()
+        for i, t in enumerate(prompt_ids):
+            b.add(t, i, 0, want_logits=(i == len(prompt_ids) - 1))
+        self.chain_root_dft_logits = self.dft.decode(b)[-1]
+        self.metrics.t_encode_s = time.perf_counter() - t_enc0
+        self.metrics.n_encoded = len(prompt_ids)
+        self.chain_root = None  # no token to chain from yet
+        self.spec_base = self.n_committed
+        self._t_start = time.perf_counter()
+        self._t_last = self._t_start
+
+        t_dec0 = time.perf_counter()
+        while self.runs:
+            # speculate ahead while the pipeline is busy (and keep a minimum
+            # queue depth even when it isn't)
+            self._speculation_pump()
+            # retire the oldest run (blocks if still in flight — the head's
+            # hot wait at llama_finish_async_decode, ref :389)
+            if self._retire_oldest(n_predict, stream):
+                self._stopped_flag = True
+                break
+
+        self.metrics.t_decode_s = time.perf_counter() - t_dec0
+        self.metrics.n_decoded = len(self.generated)
+        # drain any remaining runs
+        while self.runs:
+            r = self.runs.popleft()
+            r.handle.fetch()
+            if r.speculative:
+                self._discard_cells(r)
+                self.free_offsets.append(r.seq_offset)
+        return list(self.generated)
+
+    def _retire_oldest(self, n_predict: int, stream) -> bool:
+        """Finish (blocking) the oldest in-flight run. Returns stop flag."""
+        self.check_for_cancel()
+        run = self.runs.popleft()
+        if run.canceled:
+            run.handle.fetch()  # retire device buffers
+            self._discard(run)
+            return False
+        logits = run.handle.fetch()
+        self.stats.n_rounds += 1
+        return self._verify(run, logits, n_predict, stream)
+
+    def _speculation_pump(self) -> bool:
+        """Launch chained speculative runs while waiting
+        (ref: run_speculation_loop :765-844)."""
+        sp = self.sp
+        launched_any = False
+        it = 0
+        while (
+            (not self._oldest_ready() or len(self.runs) < sp.min_inflight)
+            and self.free_offsets
+            and self.chain_root is not None
+            and not (self.assumed and self.chain_prev_offset is None)
+            and sp.p_accept + sp.p_adjust(it, self.n_rejected) < 1.0
+        ):
+            if not self._launch_spec(sp.p_adjust(it, self.n_rejected)):
+                break
+            launched_any = True
+            it += 1
+        return launched_any

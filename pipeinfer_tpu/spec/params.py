@@ -15,6 +15,11 @@ class SpecParams:
     p_recovery: float = 0.0  # threshold recovery per idle iteration (-pr)
     p_decay: float = 0.0  # threshold decay per rejection (-pd)
     max_inflight: int = 4  # concurrent speculative runs in the pipeline
+    # keep at least this many runs queued even when logits are ready —
+    # hides host round-trips on fast devices (the reference only speculates
+    # while the MPI pipeline is busy; a TPU step queue benefits from
+    # eager chaining)
+    min_inflight: int = 2
 
     def p_adjust(self, iter_: int, n_rejected: int) -> float:
         """Adaptive speculation throttle (ref: speculative.cpp:846-848)."""
