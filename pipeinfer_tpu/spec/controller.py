@@ -299,6 +299,10 @@ class PipeInferController:
         if not alive or j < 0 or j >= len(run.branches[alive[0]].i_batch_tgt):
             self._discard(run)
             return False
+        # the fast-forwarded positions were this run's own drafted tokens,
+        # decided (and matched) by earlier runs in the chain — they count as
+        # accepted drafts
+        self.stats.n_accept += v0 - run.base
 
         new_tokens: list[int] = []
         m = 0
