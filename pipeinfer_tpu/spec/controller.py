@@ -65,6 +65,9 @@ class AsyncRun:
     seq_offset: int  # 0 for non-spec
     speculative: bool
     canceled: bool = False
+    # the draft re-decoded the chain root on its branch seq (fresh chain):
+    # its cell at base-1 must be consolidated with the tree
+    dft_root_redecoded: bool = False
 
 
 @dataclasses.dataclass
@@ -126,12 +129,20 @@ class PipeInferController:
         self.generated: list[int] = []
         self.sampler = SamplerState(params=sampling)
 
-        # speculation frontier
-        self.assumed: list[int] = []
+        # speculation frontier: the chain of assumed (drafted-but-unverified)
+        # branch-0 tokens at positions [chain_base, spec_base). The chain
+        # SURVIVES verifications while the accepted tokens keep matching it —
+        # this is what keeps the pipeline full (the reference pays a
+        # begin_non_spec_run + chain restart every verify; see its FIXME at
+        # speculative.cpp:366).
+        self.chain_tokens: list[int] = []
+        self.chain_base = 0
         self.spec_base = 0  # next tree base position (target & draft symmetric)
         self.chain_root: int | None = None
         self.chain_root_dft_logits: np.ndarray | None = None
         self.chain_prev_offset: int | None = None
+        # positions [0, seq0_frontier) have cells on sequence 0
+        self.seq0_frontier = 0
 
     # -- helpers ------------------------------------------------------------
 
@@ -155,6 +166,7 @@ class PipeInferController:
         for i, t in enumerate(tokens):
             b.add(t, base + i, 0, want_logits=(i == len(tokens) - 1))
         handle = self.tgt.decode_async(b)
+        self.seq0_frontier = max(self.seq0_frontier, base + len(tokens))
         self.runs.append(
             AsyncRun(
                 handle=handle,
@@ -177,17 +189,19 @@ class PipeInferController:
         drafted (threshold) — the offset is recycled."""
         sp = self.sp
         offset = self.free_offsets.popleft()
-        first = not self.assumed
+        first = not self.chain_tokens
         src_seq = 0 if first else self.chain_prev_offset  # branch 0 of prev run
 
+        root_redecode = self.chain_root_dft_logits is None
+        dft_hi = self.spec_base - 1 if root_redecode else self.spec_base
         for s in range(sp.n_parallel):
             self.tgt.seq_rm(s + offset, 0, -1)
             self.dft.seq_rm(s + offset, 0, -1)
             self.tgt.seq_cp(src_seq, s + offset, 0, self.spec_base)
-            self.dft.seq_cp(src_seq, s + offset, 0, self.spec_base)
+            self.dft.seq_cp(src_seq, s + offset, 0, dft_hi)
 
         proto = draft_sampler_proto(self.sampling)
-        proto.prev = list(self.sampler.prev) + list(self.assumed)
+        proto.prev = list(self.sampler.prev) + list(self.chain_tokens)
         branches = drafting.new_branches(sp.n_parallel, proto)
 
         batch_tgt = Batch()
@@ -206,7 +220,7 @@ class PipeInferController:
         for br in branches:
             if br.tokens:
                 br.tokens.pop(0)  # strip chained root
-            br.prefix_tokens = list(self.assumed)
+            br.prefix_tokens = list(self.chain_tokens)
 
         if len(batch_tgt) == 0:
             self.free_offsets.append(offset)
@@ -223,19 +237,20 @@ class PipeInferController:
                 batch=batch_tgt.copy(),
                 branches=[b.copy() for b in branches],
                 base=self.spec_base,
-                prefix_base=self.n_committed,
-                assumed_prefix=list(self.assumed),
+                prefix_base=self.chain_base,
+                assumed_prefix=list(self.chain_tokens),
                 max_decide=self.spec_base + max_depth,
                 dft_base=self.spec_base,
                 seq_offset=offset,
                 speculative=True,
+                dft_root_redecoded=root_redecode,
             )
         )
         self.metrics.n_runs += 1
 
         # chain down branch 0 (ref: id = drafts[0].tokens.back())
         if depth0 > 0:
-            self.assumed.extend(branches[0].tokens)
+            self.chain_tokens.extend(branches[0].tokens)
             self.chain_root = branches[0].tokens[-1]
             self.chain_root_dft_logits = last_dft_logits
             self.chain_prev_offset = offset
@@ -351,12 +366,20 @@ class PipeInferController:
         return (not self._ignore_eos) and bool(self.generated) and self.generated[-1] == self.eos_id
 
     def _after_verify(self, new_tokens, m, run: AsyncRun, v0: int, s_keep: int = 0, stop=False):
-        """KV consolidation + safety run + frontier reset
-        (ref: speculative.cpp:585-634)."""
+        """KV consolidation + chain maintenance
+        (ref: speculative.cpp:585-634 — redesigned: the chain persists
+        across verifications while the accepted tokens match it, so the
+        safety run + chain restart only happen on divergence)."""
         if run.speculative:
-            if m > 0:
-                self.tgt.seq_cp(s_keep + run.seq_offset, 0, v0, v0 + m)
-                self.dft.seq_cp(s_keep + run.seq_offset, 0, v0, v0 + m)
+            # consolidate the winning path to seq 0, including fast-forward
+            # positions not yet covered there (chained runs own those cells)
+            lo = max(run.base, self.seq0_frontier)
+            hi = v0 + m
+            if hi > lo:
+                self.tgt.seq_cp(s_keep + run.seq_offset, 0, lo, hi)
+                dft_lo = run.base - 1 if run.dft_root_redecoded else lo
+                self.dft.seq_cp(s_keep + run.seq_offset, 0, dft_lo, hi)
+                self.seq0_frontier = max(self.seq0_frontier, hi)
             self._discard_cells(run)
             self.free_offsets.append(run.seq_offset)
             if self.chain_prev_offset == run.seq_offset:
@@ -365,17 +388,44 @@ class PipeInferController:
 
         if stop:
             return
-        # safety run: decode the bonus token (no cell yet) on seq 0
+
+        # consume the committed prefix of the chain; intact = every newly
+        # committed token matched the assumed continuation
+        intact = True
+        while self.chain_tokens and self.chain_base < self.n_committed:
+            if self.chain_tokens[0] != self._token_at(self.chain_base):
+                intact = False
+                break
+            self.chain_tokens.pop(0)
+            self.chain_base += 1
+        if self.n_committed > self.spec_base:
+            intact = False  # generation moved past everything drafted
+        if intact and self.chain_base < self.n_committed:
+            intact = False
+
+        if intact and (self.chain_tokens or self.chain_root is not None):
+            return  # pipeline stays full; in-flight chained runs remain valid
+
+        # divergence (or no chain yet): reset the frontier. The safety run
+        # guarantees forward progress and a seq-0 cell for the bonus token.
         bonus = self.generated[-1]
         bonus_pos = self.n_committed - 1
-        self._launch_nonspec([bonus], bonus_pos)
-        # draft-side synchronous safety decode (ref :630-647)
-        db = Batch()
-        db.add(bonus, bonus_pos, 0)
-        self.chain_root_dft_logits = self.dft.decode(db)[0]
+        if self.seq0_frontier < self.n_committed:
+            self._launch_nonspec([bonus], bonus_pos)
+        else:
+            # bonus cell already on seq 0 but we still need fresh logits to
+            # decide the next position if no surviving run covers it
+            if not any(
+                (not r.canceled) and r.max_decide >= self.n_committed for r in self.runs
+            ):
+                self._launch_nonspec([bonus], bonus_pos)
+        # the next draft tree re-decodes the root on its branch seqs (no
+        # synchronous draft safety decode — saves a host round trip)
+        self.chain_root_dft_logits = None
         self.chain_root = bonus
         self.chain_prev_offset = None
-        self.assumed = []
+        self.chain_tokens = []
+        self.chain_base = self.n_committed
         self.spec_base = self.n_committed
 
     def _discard_cells(self, run: AsyncRun):
@@ -407,10 +457,12 @@ class PipeInferController:
         b = Batch()
         for i, t in enumerate(prompt_ids):
             b.add(t, i, 0, want_logits=(i == len(prompt_ids) - 1))
-        self.chain_root_dft_logits = self.dft.decode(b)[-1]
+        self.dft.decode(b)  # draft prefill (cells only)
         self.metrics.t_encode_s = time.perf_counter() - t_enc0
         self.metrics.n_encoded = len(prompt_ids)
         self.chain_root = None  # no token to chain from yet
+        self.chain_root_dft_logits = None
+        self.chain_base = self.n_committed
         self.spec_base = self.n_committed
         self._t_start = time.perf_counter()
         self._t_last = self._t_start
@@ -459,7 +511,7 @@ class PipeInferController:
             (not self._oldest_ready() or len(self.runs) < sp.min_inflight)
             and self.free_offsets
             and self.chain_root is not None
-            and not (self.assumed and self.chain_prev_offset is None)
+            and not (self.chain_tokens and self.chain_prev_offset is None)
             and sp.p_accept + sp.p_adjust(it, self.n_rejected) < 1.0
         ):
             if not self._launch_spec(sp.p_adjust(it, self.n_rejected)):
