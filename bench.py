@@ -112,8 +112,9 @@ def main():
     b = Batch()
     for i, t in enumerate(prompt):
         b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+    TOPK = 64
     t0 = time.time()
-    logits = ctx.decode(b)[-1]
+    logits = ctx.decode(b, TOPK)[-1]
     log(f"baseline prefill+compile {time.time() - t0:.1f}s")
     # warmup decode step (own bucket compile)
     n_past = len(prompt)
@@ -123,7 +124,7 @@ def main():
         sampler.accept(tok)
         b.clear()
         b.add(tok, n_past, 0)
-        logits = ctx.decode(b)[0]
+        logits = ctx.decode(b, TOPK)[0]
         n_past += 1
     t0 = time.time()
     base_tokens = []
@@ -133,7 +134,7 @@ def main():
         base_tokens.append(tok)
         b.clear()
         b.add(tok, n_past, 0)
-        logits = ctx.decode(b)[0]
+        logits = ctx.decode(b, TOPK)[0]
         n_past += 1
     base_dt = time.time() - t0
     base_tps = n_predict / base_dt
@@ -144,10 +145,12 @@ def main():
     ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
     # p_accept=0: random-weight drafts have flat softmax probs, the
     # top-prob gate would stop drafting immediately (real models pass 0.1+)
-    sp = SpecParams(n_draft=6, n_parallel=2, p_accept=0.0, p_split=0.9, max_inflight=3)
+    sp = SpecParams(n_draft=12, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=3)
     c = PipeInferController(ctx_t, ctx_d, SamplingParams(temp=0.0), sp, eos_id=-1)
-    # warmup generation compiles all bucket sizes used by the controller
-    warm_out = c.generate(list(prompt), 8)
+    # warmup generation compiles every bucket/shape the controller uses
+    # (jitted steps are shared across contexts, so the fresh measurement
+    # controller below runs fully warm)
+    warm_out = c.generate(list(prompt), n_predict)
     del warm_out
     c2 = PipeInferController(
         InferenceContext(tparams, tcfg, n_cells=n_cells),

@@ -123,20 +123,47 @@ class InferenceContext:
         self.n_prefill = 0
 
     # -- jitted step --------------------------------------------------------
+    # step functions are SHARED across contexts (module-level cache keyed by
+    # forward fn + config): a fresh InferenceContext on the same model reuses
+    # compiled executables instead of re-jitting per instance
 
-    def _step_fn(self, t_pad: int) -> Callable:
-        fn = self._step_cache.get(t_pad)
-        if fn is None:
-            forward = self._forward
-            cfg = self.cfg
+    def _step_fn(self, t_pad: int, topk: int | None) -> Callable:
+        return _shared_step(self._forward, self.cfg, topk)
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def step(params, cache, tokens, pos, seq, cell_idx, valid, seq_bits):
-                return forward(params, cfg, cache, tokens, pos, seq, cell_idx, valid, seq_bits)
+    # -- on-device draft chain ---------------------------------------------
 
-            fn = step
-            self._step_cache[t_pad] = fn
-        return fn
+    def _chain_fn(self, depth: int, n_cand: int) -> Callable:
+        return _shared_chain(self._forward, self.cfg, depth, n_cand)
+    def draft_chain(self, root_token: int, pos0: int, seq_id: int, depth: int, n_cand: int = 8):
+        """Draft a greedy chain of `depth` tokens rooted at `root_token`
+        (decoded at pos0). Returns (tokens [depth], candidates list of
+        SparseLogits per step — candidates for the token drafted at that
+        step). One dispatch + one host fetch."""
+        from ..sampling.samplers import SparseLogits
+
+        cells = self.find_cells(depth)
+        self.h_pos[cells] = pos0 + np.arange(depth)
+        self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
+        fn = self._chain_fn(depth, n_cand)
+        out, self.cache = fn(
+            self.params,
+            self.cache,
+            np.int32(root_token),
+            np.int32(pos0),
+            np.int32(seq_id),
+            cells.astype(np.int32),
+        )
+        both = np.asarray(out)
+        tokens = both[:, 0].astype(np.int32).tolist()
+        cands = [
+            SparseLogits(
+                both[i, 1 + n_cand : 1 + 2 * n_cand].astype(np.int32),
+                both[i, 1 : 1 + n_cand],
+                float(both[i, 1 + 2 * n_cand]),
+            )
+            for i in range(depth)
+        ]
+        return tokens, cands
 
     # -- cell allocation (host) --------------------------------------------
 
@@ -153,14 +180,15 @@ class InferenceContext:
 
     # -- decode -------------------------------------------------------------
 
-    def decode(self, batch: Batch) -> np.ndarray:
-        """Run one step; returns logits [len(batch), n_vocab] (host numpy).
+    def decode(self, batch: Batch, topk: int | None = None):
+        """Run one step; returns logits [len(batch), n_vocab] (host numpy)
+        or a SparseLogits batch when topk is set.
 
         The synchronous analogue of llama_decode; the async pipeline engine
         in spec/ dispatches the same jitted steps without blocking."""
-        return self.decode_async(batch).fetch()
+        return self.decode_async(batch, topk).fetch()
 
-    def decode_async(self, batch: Batch) -> "AsyncHandle":
+    def decode_async(self, batch: Batch, topk: int | None = None) -> "AsyncHandle":
         """Dispatch one step without blocking. Returns an AsyncHandle whose
         .ready() mirrors the head's MPI_Iprobe on SYNC_LOGITS and whose
         .fetch() is phase 1 (the phase-0/phase-1 split of
@@ -194,20 +222,26 @@ class InferenceContext:
         self.h_pos[cells] = batch.pos
         self.h_seq[cells] = mask64
 
-        step = self._step_fn(t_pad)
-        logits, self.cache = step(
-            self.params,
-            self.cache,
-            jnp.asarray(tokens),
-            jnp.asarray(pos),
-            jnp.asarray(seq),
-            jnp.asarray(cell_idx),
-            jnp.asarray(valid),
-            jnp.asarray(seq_bits),
+        step = self._step_fn(t_pad, topk)
+        out, self.cache = step(
+            self.params, self.cache, tokens, pos, seq, cell_idx, valid, seq_bits
         )
 
-        def fetch(_logits=logits, _n=n, _t0=t0, _isdecode=(n <= 2)):
-            host = np.asarray(_logits)[:_n]
+        def fetch(_out=out, _n=n, _t0=t0, _isdecode=(n <= 2), _topk=topk):
+            if _topk is None:
+                host = np.asarray(_out)[:_n]
+            else:
+                from ..sampling.samplers import SparseLogits
+
+                packed = np.asarray(_out)[:_n]  # single transfer
+                host = [
+                    SparseLogits(
+                        packed[i, _topk : 2 * _topk].astype(np.int32),
+                        packed[i, :_topk],
+                        float(packed[i, 2 * _topk]),
+                    )
+                    for i in range(_n)
+                ]
             dt = time.perf_counter() - _t0
             if _isdecode:
                 self.t_eval += dt
@@ -217,7 +251,7 @@ class InferenceContext:
                 self.n_prefill += _n
             return host
 
-        return AsyncHandle(logits=logits, fetch=fetch, cells=cells)
+        return AsyncHandle(logits=out, fetch=fetch, cells=cells)
 
     # -- seq ops (device + host mirror) ------------------------------------
     # Each is the counterpart of a pipelined KV transaction in the reference
@@ -265,6 +299,33 @@ class InferenceContext:
         self.h_seq[dropped] = 0
         self.h_pos[dropped] = -1
 
+    def prepare_branch_seqs(self, seqs: list[int], src: int, p1: int):
+        """Fused: clear each branch seq entirely and share src's cells
+        [0, p1) into it — one device program instead of 2*len(seqs)
+        (spec-run launch hot path)."""
+        self.cache = _jit_prepare_seqs(self.cache, np.int32(src), np.asarray(seqs, np.int32), np.int32(p1))
+        for sq in seqs:
+            bit = np.uint64(1) << np.uint64(sq)
+            self.h_seq &= ~bit
+        self.h_pos[self.h_seq == 0] = -1
+        src_bit = np.uint64(1) << np.uint64(src)
+        hit = ((self.h_seq & src_bit) != 0) & (self.h_pos >= 0) & (self.h_pos < p1)
+        for sq in seqs:
+            self.h_seq[hit] |= np.uint64(1) << np.uint64(sq)
+
+    def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int):
+        """Fused: share win_seq's cells [p0, p1) with seq 0, then drop all
+        branch seqs (verification retirement hot path)."""
+        self.cache = _jit_consolidate(
+            self.cache, np.int32(win_seq), np.asarray(branch_seqs, np.int32), np.int32(p0), np.int32(p1)
+        )
+        win_bit = np.uint64(1) << np.uint64(win_seq)
+        hit = ((self.h_seq & win_bit) != 0) & (self.h_pos >= p0) & (self.h_pos < p1)
+        self.h_seq[hit] |= np.uint64(1)
+        for sq in branch_seqs:
+            self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
+        self.h_pos[self.h_seq == 0] = -1
+
     def clear_cache(self):
         self.cache = kv.clear(self.cache)
         self.h_pos[:] = -1
@@ -285,6 +346,22 @@ class InferenceContext:
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
+def _jit_prepare_seqs(cache, src, seqs, p1):
+    for i in range(seqs.shape[0]):
+        cache = kv.seq_rm(cache, seqs[i], 0, -1)
+        cache = kv.seq_cp(cache, src, seqs[i], 0, p1)
+    return cache
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _jit_consolidate(cache, win_seq, branch_seqs, p0, p1):
+    cache = kv.seq_cp(cache, win_seq, 0, p0, p1)
+    for i in range(branch_seqs.shape[0]):
+        cache = kv.seq_rm(cache, branch_seqs[i], 0, -1)
+    return cache
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _jit_seq_rm(cache, seq_id, p0, p1):
     return kv.seq_rm(cache, seq_id, p0, p1)
 
@@ -297,3 +374,51 @@ def _jit_seq_cp(cache, src, dst, p0, p1):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _jit_seq_keep(cache, seq_id):
     return kv.seq_keep(cache, seq_id)
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_step(forward, cfg, topk):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(params, cache, tokens, pos, seq, cell_idx, valid, seq_bits):
+        logits, cache = forward(params, cfg, cache, tokens, pos, seq, cell_idx, valid, seq_bits)
+        if topk is None:
+            return logits, cache
+        # sparse head: ship only top-K + the exact softmax normalizer,
+        # PACKED into one array — host fetch cost is per-call latency,
+        # so one transfer, not three
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        vals, ids = jax.lax.top_k(logits, topk)
+        packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[:, None]], axis=1)
+        return packed, cache
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_chain(forward, cfg, depth, n_cand):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def chain(params, cache, root_token, pos0, seq_id, cell_idx):
+        """Greedy-draft `depth` tokens in ONE program (lax.scan): the
+        per-depth decode->sample->decode chain stays on device, turning the
+        draft loop's `depth` host round trips into one."""
+
+        def body(carry, i):
+            cache, tok, pos = carry
+            logits, cache = forward(
+                params, cfg, cache,
+                tok[None], pos[None], seq_id[None], cell_idx[i][None],
+                jnp.ones(1, bool), None,
+            )
+            row = logits[0]
+            lse = jax.scipy.special.logsumexp(row)
+            vals, ids = jax.lax.top_k(row, n_cand)
+            packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
+            return (cache, ids[0], pos + 1), (ids[0], packed)
+
+        (cache, _, _), (toks, packs) = jax.lax.scan(
+            body, (cache, root_token, pos0), jnp.arange(depth)
+        )
+        out = jnp.concatenate([toks.astype(jnp.float32)[:, None], packs], axis=1)
+        return out, cache
+
+    return chain

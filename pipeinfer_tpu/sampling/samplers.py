@@ -194,6 +194,21 @@ class Candidates:
     probs: np.ndarray
 
 
+@dataclasses.dataclass
+class SparseLogits:
+    """Device-computed top-K logits + the exact full-vocab softmax
+    normalizer. Shipping (K ids, K vals, lse) instead of the whole vocab
+    row keeps decode off the host-transfer bottleneck; `lse` makes
+    probabilities exact (softmax over the full vocabulary, not just K)."""
+
+    ids: np.ndarray  # int32 [K], descending by value
+    vals: np.ndarray  # float32 [K]
+    lse: float  # logsumexp over the FULL vocab row
+
+    def probs(self) -> np.ndarray:
+        return np.exp(self.vals.astype(np.float64) - self.lse).astype(np.float32)
+
+
 def _chain_filter(logits: np.ndarray, p: SamplingParams) -> Candidates:
     mask = top_k_filter(logits, p.top_k)
     ids = np.nonzero(mask)[0]
@@ -227,9 +242,47 @@ def _chain_filter(logits: np.ndarray, p: SamplingParams) -> Candidates:
     return Candidates(ids, probs)
 
 
+def _sample_sparse(state: SamplerState, sl: SparseLogits) -> tuple[int, Candidates]:
+    """Chain over device-computed top-K candidates. Exact for greedy and
+    for chains whose top_k fits within K; penalties apply to candidates in
+    the window (tokens outside top-K are already improbable)."""
+    p = state.params
+    ids = sl.ids.astype(np.int64)
+    vals = sl.vals.astype(np.float32).copy()
+    for tid, bias in p.logit_bias.items():
+        hit = np.nonzero(ids == tid)[0]
+        if len(hit):
+            vals[hit[0]] += bias
+    if state.prev and p.penalty_last_n != 0:
+        last_n = p.penalty_last_n if p.penalty_last_n > 0 else len(state.prev)
+        window = np.asarray(state.prev[-last_n:], dtype=np.int64)
+        w_ids, w_counts = np.unique(window, return_counts=True)
+        for wid, cnt in zip(w_ids, w_counts):
+            hit = np.nonzero(ids == wid)[0]
+            if len(hit):
+                v = vals[hit[0]]
+                v = v * p.penalty_repeat if v <= 0 else v / p.penalty_repeat
+                vals[hit[0]] = v - cnt * p.penalty_freq - p.penalty_present
+
+    if p.temp < 0.0:
+        # exact full-vocab probabilities via the shipped normalizer
+        probs = np.exp(vals.astype(np.float64) - sl.lse).astype(np.float32)
+        order = np.argsort(-probs, kind="stable")
+        return int(ids[order[0]]), Candidates(ids[order], probs[order])
+    if p.temp == 0.0:
+        j = int(np.argmax(vals))
+        return int(ids[j]), Candidates(np.array([ids[j]]), np.array([1.0], np.float32))
+
+    cand = _chain_filter(vals, p)
+    # cand.ids index into the candidate window; map back to vocab ids
+    vocab_ids = ids[cand.ids]
+    idx = state.rng.choice(len(vocab_ids), p=cand.probs / cand.probs.sum())
+    return int(vocab_ids[idx]), Candidates(vocab_ids, cand.probs)
+
+
 def sample_with_candidates(
     state: SamplerState,
-    logits: np.ndarray,
+    logits: np.ndarray | SparseLogits,
     cfg_logits: np.ndarray | None = None,
 ) -> tuple[int, Candidates]:
     """Full chain; returns (token, post-chain candidates).
@@ -237,6 +290,10 @@ def sample_with_candidates(
     ref: llama_sampling_sample (common/sampling.cpp:123-208).
     """
     p = state.params
+    if isinstance(logits, SparseLogits):
+        if state.grammar is not None or cfg_logits is not None or p.mirostat:
+            raise ValueError("grammar/CFG/mirostat need full logits (topk=None)")
+        return _sample_sparse(state, logits)
     logits = np.asarray(logits, dtype=np.float32).copy()
     for tid, bias in p.logit_bias.items():
         logits[tid] += bias

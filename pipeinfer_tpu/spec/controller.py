@@ -116,6 +116,12 @@ class PipeInferController:
         self.eos_id = eos_id
         self.stats = SpecStats()
         self.metrics = PipeInferMetrics()
+        # sparse logits head: ship top-K + normalizer instead of the vocab
+        # row (host fetch bandwidth bounds decode); full logits only when a
+        # chain feature needs them
+        self.topk: int | None = None
+        if sampling.mirostat == 0 and not sampling.logit_bias:
+            self.topk = min(128, 1 << 30)
 
         self.runs: deque[AsyncRun] = deque()  # newest appended right
         n_par = sp.n_parallel
@@ -165,7 +171,7 @@ class PipeInferController:
         b = Batch()
         for i, t in enumerate(tokens):
             b.add(t, base + i, 0, want_logits=(i == len(tokens) - 1))
-        handle = self.tgt.decode_async(b)
+        handle = self.tgt.decode_async(b, self.topk)
         self.seq0_frontier = max(self.seq0_frontier, base + len(tokens))
         self.runs.append(
             AsyncRun(
@@ -194,11 +200,9 @@ class PipeInferController:
 
         root_redecode = self.chain_root_dft_logits is None
         dft_hi = self.spec_base - 1 if root_redecode else self.spec_base
-        for s in range(sp.n_parallel):
-            self.tgt.seq_rm(s + offset, 0, -1)
-            self.dft.seq_rm(s + offset, 0, -1)
-            self.tgt.seq_cp(src_seq, s + offset, 0, self.spec_base)
-            self.dft.seq_cp(src_seq, s + offset, 0, dft_hi)
+        branch_seqs = [s + offset for s in range(sp.n_parallel)]
+        self.tgt.prepare_branch_seqs(branch_seqs, src_seq, self.spec_base)
+        self.dft.prepare_branch_seqs(branch_seqs, src_seq, dft_hi)
 
         proto = draft_sampler_proto(self.sampling)
         proto.prev = list(self.sampler.prev) + list(self.chain_tokens)
@@ -216,6 +220,7 @@ class PipeInferController:
             tgt_base=self.spec_base,
             batch_tgt=batch_tgt,
             p_adjust=p_adjust,
+            topk=self.topk,
         )
         for br in branches:
             if br.tokens:
@@ -228,7 +233,7 @@ class PipeInferController:
             return False
 
         self.stats.n_drafted += n_drafted
-        handle = self.tgt.decode_async(batch_tgt)
+        handle = self.tgt.decode_async(batch_tgt, self.topk)
         depth0 = len(branches[0].tokens)
         max_depth = max(len(b.tokens) for b in branches if b.active)
         self.runs.append(
@@ -375,12 +380,13 @@ class PipeInferController:
             # positions not yet covered there (chained runs own those cells)
             lo = max(run.base, self.seq0_frontier)
             hi = v0 + m
+            dft_lo = run.base - 1 if run.dft_root_redecoded else lo
+            branch_seqs = [s + run.seq_offset for s in range(self.sp.n_parallel)]
+            win = s_keep + run.seq_offset
+            self.tgt.consolidate(win, branch_seqs, lo, max(hi, lo))
+            self.dft.consolidate(win, branch_seqs, dft_lo, max(hi, dft_lo))
             if hi > lo:
-                self.tgt.seq_cp(s_keep + run.seq_offset, 0, lo, hi)
-                dft_lo = run.base - 1 if run.dft_root_redecoded else lo
-                self.dft.seq_cp(s_keep + run.seq_offset, 0, dft_lo, hi)
                 self.seq0_frontier = max(self.seq0_frontier, hi)
-            self._discard_cells(run)
             self.free_offsets.append(run.seq_offset)
             if self.chain_prev_offset == run.seq_offset:
                 self.chain_prev_offset = None

@@ -64,6 +64,7 @@ def draft_tree(
     tgt_base: int,  # target-side position where drafted tokens start
     batch_tgt: Batch,
     p_adjust: float = 0.0,
+    topk: int | None = None,
 ) -> tuple[int, np.ndarray | None]:
     """Grow a draft tree from `root_token`.
 
@@ -87,10 +88,33 @@ def draft_tree(
     root.skip = False
     root.tokens.append(root_token)  # chained token; erased before launch
 
+    # fast path: single-branch greedy chains run entirely ON DEVICE (one
+    # dispatch + one fetch instead of a host round trip per depth) — the
+    # decisive optimization when per-call latency dominates (TPU tunnels)
+    if (
+        n_par == 1
+        and root_logits is None
+        and root.sampler is not None
+        and root.sampler.params.temp < 0
+        and root.sampler.grammar is None
+    ):
+        try:
+            tokens, cands = ctx_dft.draft_chain(root_token, dft_base, seq_offset, sp.n_draft)
+        except RuntimeError:
+            return 0, None  # cache full: skip this speculation
+        for i, (tok, cand) in enumerate(zip(tokens, cands)):
+            if cand.probs()[0] < sp.p_accept + p_adjust:
+                break
+            root.sampler.accept(tok)
+            root.tokens.append(tok)
+            root.i_batch_tgt.append(len(batch_tgt))
+            batch_tgt.add(tok, tgt_base + i, [seq_offset], want_logits=True)
+        return len(root.tokens) - 1, None
+
     batch_dft = Batch()
     if root_logits is None:
         batch_dft.add(root_token, dft_base, seq_offset, want_logits=True)
-        logits = ctx_dft.decode(batch_dft)
+        logits = ctx_dft.decode(batch_dft, topk)
         cur_logits = {0: logits[0]}
         batch_dft.clear()
     else:
@@ -152,7 +176,7 @@ def draft_tree(
 
         if len(batch_dft) == 0:
             break
-        logits = ctx_dft.decode(batch_dft)
+        logits = ctx_dft.decode(batch_dft, topk)
         for s in range(n_par):
             if branches[s].drafting and not branches[s].skip:
                 cur_logits[s] = logits[branches[s].i_batch_dft]
