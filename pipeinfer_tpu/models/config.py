@@ -29,6 +29,8 @@ class ModelConfig:
     max_alibi_bias: float = 0.0
     clamp_kqv: float = 0.0
     parallel_residual: bool = False
+    tok_norm: bool = False  # bloom embedding layernorm
+    pos_embd: bool = False  # starcoder learned absolute positions
     # YaRN (ref: llama.h:186-196)
     yarn_ext_factor: float = 0.0
     yarn_attn_factor: float = 1.0
@@ -40,19 +42,22 @@ class ModelConfig:
         return self.head_dim ** -0.5
 
 
-# rope convention per architecture (ref: llama.cpp build_* rope calls)
-_ROPE_MODE = {
-    "llama": "norm",
-    "baichuan": "norm",
-    "falcon": "neox",
-    "starcoder": "none",
-    "persimmon": "neox",
-    "refact": "neox",
-    "bloom": "none",
-    "mpt": "none",
-    "stablelm": "neox",
-    "gptneox": "neox",
+# per-architecture traits (ref: llama.cpp build_* graph builders —
+# rope mode from their ggml_rope_custom calls, alibi from llm_build_kqv
+# max_alibi_bias args, residual/norm structure from the builder shape)
+_ARCH_TRAITS: dict[str, dict] = {
+    "llama": dict(rope_mode="norm"),
+    "baichuan": dict(rope_mode="norm"),  # 13B variant switches to alibi below
+    "falcon": dict(rope_mode="neox", norm_rms=False, parallel_residual=True),
+    "starcoder": dict(rope_mode="none", norm_rms=False, pos_embd=True),
+    "persimmon": dict(rope_mode="neox", norm_rms=False),
+    "refact": dict(rope_mode="none", max_alibi_bias=8.0),
+    "bloom": dict(rope_mode="none", norm_rms=False, tok_norm=True, max_alibi_bias=8.0),
+    "mpt": dict(rope_mode="none", norm_rms=False, max_alibi_bias=8.0),
+    "stablelm": dict(rope_mode="neox", norm_rms=False),
+    "gptneox": dict(rope_mode="neox", norm_rms=False),
 }
+_ROPE_MODE = {k: v.get("rope_mode", "norm") for k, v in _ARCH_TRAITS.items()}
 
 
 def config_from_gguf(r: GGUFReader) -> ModelConfig:
@@ -75,22 +80,40 @@ def config_from_gguf(r: GGUFReader) -> ModelConfig:
     )
     if not n_vocab and "token_embd.weight" in r.tensors:
         n_vocab = r.tensors["token_embd.weight"].shape[0]
+    traits = dict(_ARCH_TRAITS.get(arch, {}))
+    n_layers = int(r.field(Keys.BLOCK_COUNT))
+    if arch == "baichuan" and n_layers >= 40:
+        # Baichuan-13B drops rope for alibi (ref: build_baichuan MODEL_13B)
+        traits.update(rope_mode="none", max_alibi_bias=8.0)
+    # metadata overrides traits where present
+    if rms or r.field(Keys.LAYER_NORM_RMS_EPS) is not None:
+        traits.setdefault("norm_rms", True)
+    else:
+        traits["norm_rms"] = traits.get("norm_rms", False)
+    alibi_md = r.field(Keys.MAX_ALIBI_BIAS)
+    if alibi_md is not None:
+        traits["max_alibi_bias"] = float(alibi_md)
     return ModelConfig(
         arch=arch,
         n_vocab=n_vocab,
         n_embd=n_embd,
-        n_layers=int(r.field(Keys.BLOCK_COUNT)),
+        n_layers=n_layers,
         n_heads=n_heads,
         n_kv_heads=n_kv,
         n_ff=int(r.field(Keys.FEED_FORWARD_LENGTH, 4 * n_embd)),
         head_dim=head_dim,
         rope_dims=rope_dims,
-        rope_mode=_ROPE_MODE.get(arch, "norm"),
         rope_base=float(r.field(Keys.ROPE_FREQ_BASE, 10000.0) or 10000.0),
         rope_scale=rope_scale,
         norm_eps=float(eps),
-        norm_rms=rms,
         n_ctx_train=int(r.field(Keys.CONTEXT_LENGTH, 2048) or 2048),
-        max_alibi_bias=float(r.field(Keys.MAX_ALIBI_BIAS, 0.0) or 0.0),
         clamp_kqv=float(r.field(Keys.CLAMP_KQV, 0.0) or 0.0),
+        **{
+            "rope_mode": traits.get("rope_mode", "norm"),
+            "norm_rms": traits.get("norm_rms", rms),
+            "max_alibi_bias": traits.get("max_alibi_bias", 0.0),
+            "parallel_residual": traits.get("parallel_residual", False),
+            "tok_norm": traits.get("tok_norm", False),
+            "pos_embd": traits.get("pos_embd", False),
+        },
     )

@@ -43,26 +43,76 @@ def _load_tensor(r: GGUFReader, name: str, *, dense_dtype=jnp.float32, layout="k
     return jnp.asarray(r.tensor(name), dtype=jnp.bfloat16)
 
 
-def load_model(path: str | Path) -> tuple[dict[str, Any], ModelConfig]:
-    """Load a GGUF model file. Returns (params pytree, config).
+# global tensor names shared by every architecture
+# (ref: llama.cpp LLM_TENSOR_NAMES table)
+GLOBAL_TENSOR_MAP = {
+    "token_embd.weight": "tok_embd",
+    "token_embd_norm.weight": "tok_norm",
+    "token_embd_norm.bias": "tok_norm_b",
+    "position_embd.weight": "pos_embd",
+    "output_norm.weight": "output_norm",
+    "output_norm.bias": "output_norm_b",
+    "output.weight": "output",
+}
 
-    Currently the llama tensor layout family (llama/baichuan/refact naming);
-    other architectures register their own maps as they land.
-    """
+LAYER_TENSOR_MAP = {
+    "attn_norm.weight": "attn_norm",
+    "attn_norm.bias": "attn_norm_b",
+    "attn_norm_2.weight": "attn_norm_2",
+    "attn_norm_2.bias": "attn_norm_2_b",
+    "attn_qkv.weight": "wqkv",
+    "attn_qkv.bias": "bqkv",
+    "attn_q.weight": "wq",
+    "attn_q.bias": "bq",
+    "attn_k.weight": "wk",
+    "attn_k.bias": "bk",
+    "attn_v.weight": "wv",
+    "attn_v.bias": "bv",
+    "attn_q_norm.weight": "q_norm",
+    "attn_q_norm.bias": "q_norm_b",
+    "attn_k_norm.weight": "k_norm",
+    "attn_k_norm.bias": "k_norm_b",
+    "attn_output.weight": "wo",
+    "attn_output.bias": "bo",
+    "ffn_norm.weight": "ffn_norm",
+    "ffn_norm.bias": "ffn_norm_b",
+    "ffn_gate.weight": "w_gate",
+    "ffn_gate.bias": "b_gate",
+    "ffn_down.weight": "w_down",
+    "ffn_down.bias": "b_down",
+    "ffn_up.weight": "w_up",
+    "ffn_up.bias": "b_up",
+}
+
+# non-matmul slots loaded as dense vectors/embeddings
+_GATHER_SLOTS = {"tok_embd", "pos_embd"}
+
+
+def forward_for_arch(arch: str):
+    """The jittable forward for an architecture (llama fast path or the
+    generic trait-driven decoder)."""
+    if arch in ("llama",):
+        return llama.forward
+    from . import generic
+
+    return generic.forward
+
+
+def load_model(path: str | Path) -> tuple[dict[str, Any], ModelConfig]:
+    """Load a GGUF model file. Returns (params pytree, config)."""
     r = GGUFReader(path)
     cfg = config_from_gguf(r)
     params: dict[str, Any] = {"layers": []}
-    for gname, slot in llama.TENSOR_MAP.items():
+    for gname, slot in GLOBAL_TENSOR_MAP.items():
         if gname in r.tensors:
-            # embeddings are row-gathered (n_major); everything else matmuls
-            layout = "n_major" if slot == "tok_embd" else "k_major"
+            layout = "n_major" if slot in _GATHER_SLOTS else "k_major"
             params[slot] = _load_tensor(r, gname, layout=layout)
     if "output" not in params:
         # tied embeddings: the head matmul needs its own k_major copy
         params["output"] = _load_tensor(r, "token_embd.weight", layout="k_major")
     for li in range(cfg.n_layers):
         lp = {}
-        for suffix, slot in llama.LAYER_TENSOR_MAP.items():
+        for suffix, slot in LAYER_TENSOR_MAP.items():
             gname = f"blk.{li}.{suffix}"
             if gname in r.tensors:
                 lp[slot] = _load_tensor(r, gname)

@@ -104,12 +104,12 @@ class InferenceContext:
         forward_fn: Callable | None = None,
         cache_dtype=jnp.bfloat16,
     ):
-        from ..models import llama as default_model
+        from ..models.loader import forward_for_arch
 
         self.params = params
         self.cfg = cfg
         self.n_cells = n_cells
-        self._forward = forward_fn or default_model.forward
+        self._forward = forward_fn or forward_for_arch(cfg.arch)
         self.cache = kv.create(cfg.n_layers, n_cells, cfg.n_kv_heads, cfg.head_dim, cache_dtype)
         # host mirrors for allocation (last cell reserved as padding trash)
         self.h_pos = np.full(n_cells, -1, np.int64)

@@ -225,6 +225,23 @@ def attn_mask(cache: KVCache, tok_pos: jax.Array, tok_seq: jax.Array) -> jax.Arr
     return jnp.where(visible, 0.0, MASK_VALUE).astype(jnp.float32)
 
 
+def alibi_slopes(n_heads: int, max_bias: float) -> jax.Array:
+    """Per-head ALiBi slopes (ref: ggml.c ggml_alibi semantics — power-of-two
+    head bucketing with interpolated slopes for non-pow2 head counts)."""
+    import math
+
+    n_floor = 2 ** int(math.floor(math.log2(n_heads)))
+    m0 = 2.0 ** (-max_bias / n_floor)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_floor)
+    slopes = []
+    for h in range(n_heads):
+        if h < n_floor:
+            slopes.append(m0 ** (h + 1))
+        else:
+            slopes.append(m1 ** (2 * (h - n_floor) + 1))
+    return jnp.asarray(slopes, jnp.float32)
+
+
 def attention(
     q: jax.Array,  # [T, H, D]
     k_cache: jax.Array,  # [C, KVH, D]
@@ -232,8 +249,11 @@ def attention(
     mask: jax.Array,  # [T, C] additive
     *,
     scale: float,
+    alibi: jax.Array | None = None,  # [H] slopes; bias = slope * cell_pos
+    cache_pos: jax.Array | None = None,  # [C] required with alibi
 ) -> jax.Array:
-    """Dense masked SDPA over the whole cell array (GQA-aware).
+    """Dense masked SDPA over the whole cell array (GQA-aware), with
+    optional ALiBi position bias (ref: ggml_alibi — bias = slope * key pos).
 
     C is static so XLA sees fixed shapes; free cells are masked. A Pallas
     flash/paged kernel can swap in here for long contexts."""
@@ -245,6 +265,11 @@ def attention(
     vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("tkgd,ckd->tkgc", qf, kf) * scale
     scores = scores + mask[:, None, None, :]
+    if alibi is not None:
+        bias = alibi.reshape(kvh, gsize)[None, :, :, None] * jnp.maximum(
+            cache_pos, 0
+        ).astype(jnp.float32)[None, None, None, :]
+        scores = scores + bias
     p = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("tkgc,ckd->tkgd", p, vf)
     return out.reshape(t, h, d)

@@ -68,3 +68,40 @@ def test_byte_fallback(spm):
 def test_special_token_splitting(spm):
     ids = spm.encode("hi <s> there", add_bos=False, special=True)
     assert spm.vocab.bos_id in ids
+
+
+FALCON_VOCAB = Path("/root/reference/models/ggml-vocab-falcon.gguf")
+BPE_TEXTS = [
+    "Hello world",
+    " Hello world",
+    "Hello World!",
+    "w048 7tuijk dsdfhu",
+    "нещо на Български",
+    "3.14159 26535",
+    "  spaced   out  ",
+    "CamelCaseTest and_underscores",
+    "don't stop believin'",
+]
+
+
+@pytest.fixture(scope="module")
+def bpe():
+    if not FALCON_VOCAB.exists():
+        pytest.skip("falcon vocab fixture unavailable")
+    with GGUFReader(FALCON_VOCAB) as r:
+        return tokenizer_from_gguf(r)
+
+
+def test_bpe_parity_with_reference(bpe):
+    want = oracle.ref_tokenize(str(FALCON_VOCAB), BPE_TEXTS, add_bos=False)
+    if want is None:
+        pytest.skip("tokenizer oracle unavailable")
+    for text, expected in zip(BPE_TEXTS, want):
+        got = bpe.encode(text, add_bos=False)
+        assert got == expected, f"BPE mismatch for {text!r}: got {got}, want {expected}"
+
+
+def test_bpe_round_trip(bpe):
+    for text in BPE_TEXTS:
+        ids = bpe.encode(text, add_bos=False)
+        assert bpe.decode(ids) == text
