@@ -1,0 +1,251 @@
+"""Host-driven pipeline stages: the PipeInfer multi-chip target topology.
+
+Re-imagines the reference's MPI pipeline (ref: ggml-mpi.c ring +
+llama.cpp:9941-9977 worker loop) for TPU: each stage owns a layer slab and
+its own KV-cache slab on its own device; the host asynchronously dispatches
+per-stage jitted steps and device-to-device activation transfers, so
+several microbatches can be in flight across the stage depth — the async
+controller's AsyncRun deque maps 1:1 onto this. There is no tag protocol:
+JAX async dispatch orders work per device, and `AsyncHandle.ready()` on the
+final stage's output is the head's iprobe.
+
+KV sequence operations fan out to every stage's cache (the counterpart of
+the reference's pipelined KV transactions, llama.cpp:9238-9359), dispatched
+without host synchronization.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models import staged
+from ..runtime import kv_cache as kv
+from ..runtime.context import AsyncHandle, Batch, InferenceContext, _bucket
+
+
+def split_ranges(n_layers: int, weights: Sequence[float]) -> list[tuple[int, int]]:
+    """Weighted layer ranges (ref: ggml_mpi_split_range ggml-mpi.c:523-559;
+    the --mpi-layer-split fractions UX)."""
+    total = sum(weights)
+    ranges = []
+    start = 0
+    for i, w in enumerate(weights):
+        n = round(n_layers * w / total) if i < len(weights) - 1 else n_layers - start
+        n = max(1, min(n, n_layers - start - (len(weights) - 1 - i)))
+        ranges.append((start, start + n))
+        start += n
+    assert start == n_layers, (ranges, n_layers)
+    return ranges
+
+
+class StagedInferenceContext:
+    """InferenceContext-compatible engine over pipeline stages.
+
+    Exposes the same decode/seq-op surface the speculation controller uses,
+    so PipeInfer runs unchanged over 1..N devices."""
+
+    def __init__(
+        self,
+        params,
+        cfg: ModelConfig,
+        *,
+        n_cells: int = 1024,
+        devices: Sequence | None = None,
+        split: Sequence[float] | None = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        if cfg.arch != "llama":
+            raise NotImplementedError("staged pipeline currently drives the llama family")
+        self.cfg = cfg
+        self.n_cells = n_cells
+        devices = list(devices) if devices else [jax.devices()[0]]
+        self.devices = devices
+        n_stages = len(devices)
+        split = split or [1.0 / n_stages] * n_stages
+        self.ranges = split_ranges(cfg.n_layers, split)
+
+        self.stage_params = []
+        for dev, (lo, hi) in zip(devices, self.ranges):
+            sp = {"layers": params["layers"][lo:hi]}
+            if lo == 0:
+                sp["tok_embd"] = params["tok_embd"]
+            if hi == cfg.n_layers:
+                sp["output_norm"] = params["output_norm"]
+                sp["output"] = params["output"]
+            self.stage_params.append(jax.device_put(sp, dev))
+        self.caches = [
+            jax.device_put(
+                kv.create(hi - lo, n_cells, cfg.n_kv_heads, cfg.head_dim, cache_dtype), dev
+            )
+            for dev, (lo, hi) in zip(devices, self.ranges)
+        ]
+
+        self.h_pos = np.full(n_cells, -1, np.int64)
+        self.h_seq = np.zeros(n_cells, np.uint64)
+        self.trash_cell = n_cells - 1
+        self.t_eval = 0.0
+        self.n_eval = 0
+        self.t_prefill = 0.0
+        self.n_prefill = 0
+
+    # -- stage step fns ------------------------------------------------------
+
+    def _stage_fn(self, si: int, topk) -> Callable:
+        first = si == 0
+        last = si == len(self.devices) - 1
+        return _staged_step(self.cfg, first, last, topk if last else None)
+
+    # -- decode --------------------------------------------------------------
+
+    def decode(self, batch: Batch, topk: int | None = None):
+        return self.decode_async(batch, topk).fetch()
+
+    def decode_async(self, batch: Batch, topk: int | None = None) -> AsyncHandle:
+        t0 = time.perf_counter()
+        n = len(batch)
+        t_pad = _bucket(n)
+        cells = self.find_cells(n)
+
+        tokens = np.zeros(t_pad, np.int32)
+        pos = np.zeros(t_pad, np.int32)
+        seq = np.zeros(t_pad, np.int32)
+        seq_bits = np.zeros((t_pad, kv.SEQ_WORDS), np.uint32)
+        cell_idx = np.full(t_pad, self.trash_cell, np.int32)
+        valid = np.zeros(t_pad, bool)
+        tokens[:n] = batch.tokens
+        pos[:n] = batch.pos
+        seq[:n] = [s[0] for s in batch.seqs]
+        mask64 = np.zeros(n, np.uint64)
+        for i, slist in enumerate(batch.seqs):
+            for s in slist:
+                mask64[i] |= np.uint64(1) << np.uint64(s)
+        seq_bits[:n, 0] = (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        seq_bits[:n, 1] = (mask64 >> np.uint64(32)).astype(np.uint32)
+        cell_idx[:n] = cells
+        valid[:n] = True
+        self.h_pos[cells] = batch.pos
+        self.h_seq[cells] = mask64
+
+        x = tokens
+        for si, dev in enumerate(self.devices):
+            if si > 0:
+                x = jax.device_put(x, dev)  # ICI hop, async
+            fn = self._stage_fn(si, topk)
+            x, self.caches[si] = fn(
+                self.stage_params[si], self.caches[si], x, pos, seq, cell_idx, valid, seq_bits
+            )
+
+        def fetch(_out=x, _n=n, _t0=t0, _topk=topk, _isdecode=(n <= 2)):
+            if _topk is None:
+                host = np.asarray(_out)[:_n]
+            else:
+                from ..sampling.samplers import SparseLogits
+
+                packed = np.asarray(_out)[:_n]
+                host = [
+                    SparseLogits(
+                        packed[i, _topk : 2 * _topk].astype(np.int32),
+                        packed[i, :_topk],
+                        float(packed[i, 2 * _topk]),
+                    )
+                    for i in range(_n)
+                ]
+            dt = time.perf_counter() - _t0
+            if _isdecode:
+                self.t_eval += dt
+                self.n_eval += _n
+            else:
+                self.t_prefill += dt
+                self.n_prefill += _n
+            return host
+
+        return AsyncHandle(logits=x, fetch=fetch, cells=cells)
+
+    # -- allocation (host mirror, shared across stages) ----------------------
+
+    def find_cells(self, n: int) -> np.ndarray:
+        free = np.nonzero(self.h_pos[: self.trash_cell] < 0)[0]
+        if len(free) < n:
+            raise RuntimeError(f"KV cache full: need {n}, have {len(free)}")
+        return free[:n]
+
+    # -- KV seq ops: fan out to every stage (pipelined transactions) ---------
+
+    def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1):
+        for i in range(len(self.caches)):
+            self.caches[i] = _jit_rm(self.caches[i], seq_id, p0, p1)
+        hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
+        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
+        self.h_seq[hit] &= ~(np.uint64(1) << np.uint64(seq_id))
+        self.h_pos[self.h_seq == 0] = -1
+
+    def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1):
+        for i in range(len(self.caches)):
+            self.caches[i] = _jit_cp(self.caches[i], src, dst, p0, p1)
+        hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
+        hit = (self.h_seq >> np.uint64(src) & np.uint64(1)).astype(bool)
+        hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
+        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
+
+    def prepare_branch_seqs(self, seqs: list[int], src: int, p1: int):
+        from ..runtime.context import _jit_prepare_seqs
+
+        for i in range(len(self.caches)):
+            self.caches[i] = _jit_prepare_seqs(
+                self.caches[i], np.int32(src), np.asarray(seqs, np.int32), np.int32(p1)
+            )
+        for sq in seqs:
+            self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
+        self.h_pos[self.h_seq == 0] = -1
+        src_bit = np.uint64(1) << np.uint64(src)
+        hit = ((self.h_seq & src_bit) != 0) & (self.h_pos >= 0) & (self.h_pos < p1)
+        for sq in seqs:
+            self.h_seq[hit] |= np.uint64(1) << np.uint64(sq)
+
+    def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int):
+        from ..runtime.context import _jit_consolidate
+
+        for i in range(len(self.caches)):
+            self.caches[i] = _jit_consolidate(
+                self.caches[i], np.int32(win_seq), np.asarray(branch_seqs, np.int32),
+                np.int32(p0), np.int32(p1),
+            )
+        win_bit = np.uint64(1) << np.uint64(win_seq)
+        hit = ((self.h_seq & win_bit) != 0) & (self.h_pos >= p0) & (self.h_pos < p1)
+        self.h_seq[hit] |= np.uint64(1)
+        for sq in branch_seqs:
+            self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
+        self.h_pos[self.h_seq == 0] = -1
+
+    def print_timings(self, log=print):
+        InferenceContext.print_timings(self, log)  # same counters
+
+
+@functools.lru_cache(maxsize=None)
+def _staged_step(cfg, first, last, topk):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(sp, cache, x, pos, seq, cell_idx, valid, seq_bits):
+        return staged.stage_forward(
+            sp, cfg, cache, x, pos, seq, cell_idx, valid, seq_bits,
+            first=first, last=last, topk=topk,
+        )
+
+    return step
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _jit_rm(cache, seq_id, p0, p1):
+    return kv.seq_rm(cache, seq_id, p0, p1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _jit_cp(cache, src, dst, p0, p1):
+    return kv.seq_cp(cache, src, dst, p0, p1)

@@ -1,0 +1,142 @@
+"""Continuous batching across concurrent requests.
+
+Counterpart of the reference's slot-based server loop and the parallel
+example (ref: examples/server/server.cpp slot machinery,
+examples/parallel/parallel.cpp:238-311): each request owns a sequence id
+and sampler state; every engine step packs one decode token per active
+request (plus prompt chunks for newly admitted ones) into a single batch,
+so new requests hot-join while others are mid-generation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..runtime.context import Batch, InferenceContext
+from ..sampling.samplers import SamplerState, SamplingParams, sample
+
+
+@dataclasses.dataclass
+class Request:
+    prompt_ids: list[int]
+    n_predict: int
+    sampling: SamplingParams
+    stream: Optional[Callable[[int], None]] = None
+    ignore_eos: bool = False
+
+    # runtime state (slot fields, ref server.cpp slot struct)
+    rid: int = -1
+    seq: int = -1
+    n_prompt_fed: int = 0
+    n_past: int = 0
+    generated: list[int] = dataclasses.field(default_factory=list)
+    sampler: SamplerState | None = None
+    pending_logit_idx: int = -1
+    done: bool = False
+    done_event: threading.Event = dataclasses.field(default_factory=threading.Event)
+
+
+class BatchScheduler:
+    """Slot-based continuous batching over one InferenceContext."""
+
+    def __init__(
+        self,
+        ctx: InferenceContext,
+        *,
+        max_slots: int = 8,
+        prompt_chunk: int = 64,
+        eos_id: int = 2,
+        topk: int | None = 128,
+    ):
+        self.ctx = ctx
+        self.max_slots = max_slots
+        self.prompt_chunk = prompt_chunk
+        self.eos_id = eos_id
+        self.topk = topk
+        self.slots: list[Request | None] = [None] * max_slots
+        self.queue: list[Request] = []
+        self._rid = itertools.count()
+        self.lock = threading.Lock()
+
+    def submit(self, req: Request) -> Request:
+        req.rid = next(self._rid)
+        with self.lock:
+            self.queue.append(req)
+        return req
+
+    @property
+    def busy(self) -> bool:
+        return any(s is not None for s in self.slots) or bool(self.queue)
+
+    def _admit(self):
+        for i in range(self.max_slots):
+            if self.slots[i] is None and self.queue:
+                req = self.queue.pop(0)
+                req.seq = i
+                req.sampler = SamplerState(params=req.sampling)
+                for t in req.prompt_ids:
+                    req.sampler.accept(t, apply_grammar=False)
+                self.ctx.seq_rm(i, 0, -1)
+                self.slots[i] = req
+
+    def step(self) -> int:
+        """One engine iteration. Returns number of tokens decoded."""
+        with self.lock:
+            self._admit()
+        batch = Batch()
+        sample_list: list[Request] = []
+        for req in self.slots:
+            if req is None:
+                continue
+            if req.n_prompt_fed < len(req.prompt_ids):
+                # feed (a chunk of) the prompt
+                chunk = req.prompt_ids[req.n_prompt_fed : req.n_prompt_fed + self.prompt_chunk]
+                last = req.n_prompt_fed + len(chunk) == len(req.prompt_ids)
+                for j, t in enumerate(chunk):
+                    batch.add(t, req.n_past + j, req.seq, want_logits=(last and j == len(chunk) - 1))
+                if last:
+                    req.pending_logit_idx = len(batch) - 1
+                    sample_list.append(req)
+                req.n_prompt_fed += len(chunk)
+                req.n_past += len(chunk)
+            else:
+                tok = req.generated[-1]
+                batch.add(tok, req.n_past, req.seq, want_logits=True)
+                req.pending_logit_idx = len(batch) - 1
+                req.n_past += 1
+                sample_list.append(req)
+        if len(batch) == 0:
+            return 0
+        logits = self.ctx.decode(batch, self.topk)
+        for req in sample_list:
+            tok = sample(req.sampler, logits[req.pending_logit_idx])
+            req.sampler.accept(tok)
+            req.generated.append(tok)
+            if req.stream:
+                req.stream(tok)
+            hit_eos = (not req.ignore_eos) and tok == self.eos_id
+            if hit_eos or len(req.generated) >= req.n_predict:
+                self._finish(req)
+        return len(batch)
+
+    def _finish(self, req: Request):
+        self.slots[req.seq] = None
+        self.ctx.seq_rm(req.seq, 0, -1)
+        req.done = True
+        req.done_event.set()
+
+    def run_until_idle(self):
+        while self.busy:
+            self.step()
+
+    def serve_forever(self, stop: threading.Event, idle_sleep: float = 0.005):
+        import time
+
+        while not stop.is_set():
+            if self.step() == 0:
+                time.sleep(idle_sleep)

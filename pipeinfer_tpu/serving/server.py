@@ -1,0 +1,192 @@
+"""`pipeinfer-server` — HTTP inference server
+(ref: examples/server/server.cpp): /completion (+ streaming SSE),
+OpenAI-style /v1/completions, /health and /props, on top of the
+continuous-batching scheduler. Stdlib http.server; an engine thread runs
+the scheduler loop while handler threads enqueue requests.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from ..sampling.samplers import SamplingParams
+from .batching import BatchScheduler, Request
+from ..cli.args import add_model_args
+from ..cli.main import build_context
+
+
+class EngineState:
+    def __init__(self, scheduler: BatchScheduler, tok):
+        self.scheduler = scheduler
+        self.tok = tok
+        self.stop = threading.Event()
+        self.thread = threading.Thread(target=scheduler.serve_forever, args=(self.stop,), daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def shutdown(self):
+        self.stop.set()
+        self.thread.join(timeout=5)
+
+
+def _sampling_from_body(body: dict) -> SamplingParams:
+    return SamplingParams(
+        temp=float(body.get("temperature", 0.8)),
+        top_k=int(body.get("top_k", 40)),
+        top_p=float(body.get("top_p", 0.95)),
+        min_p=float(body.get("min_p", 0.05)),
+        penalty_repeat=float(body.get("repeat_penalty", 1.1)),
+        seed=int(body.get("seed", -1)),
+    )
+
+
+def make_handler(engine: EngineState):
+    tok = engine.tok
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _json(self, code: int, obj):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/props":
+                cfg = engine.scheduler.ctx.cfg
+                self._json(
+                    200,
+                    {
+                        "arch": cfg.arch,
+                        "n_vocab": cfg.n_vocab,
+                        "n_embd": cfg.n_embd,
+                        "n_layers": cfg.n_layers,
+                        "n_cells": engine.scheduler.ctx.n_cells,
+                        "slots": engine.scheduler.max_slots,
+                    },
+                )
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                body = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._json(400, {"error": "invalid JSON"})
+                return
+            if self.path in ("/completion", "/v1/completions"):
+                self._completion(body, openai=self.path.startswith("/v1"))
+            else:
+                self._json(404, {"error": "not found"})
+
+        def _completion(self, body: dict, openai: bool):
+            prompt = body.get("prompt", "")
+            if not isinstance(prompt, str):
+                self._json(400, {"error": "prompt must be a string"})
+                return
+            n_predict = int(body.get("n_predict", body.get("max_tokens", 64)))
+            stream = bool(body.get("stream", False))
+            ids = tok.encode(prompt, add_bos=True)
+
+            if stream:
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                q: queue.Queue = queue.Queue()
+                req = Request(
+                    prompt_ids=ids,
+                    n_predict=n_predict,
+                    sampling=_sampling_from_body(body),
+                    stream=q.put,
+                )
+                engine.scheduler.submit(req)
+                sent = 0
+                while True:
+                    try:
+                        t = q.get(timeout=0.1)
+                    except queue.Empty:
+                        if req.done:
+                            break
+                        continue
+                    piece = tok.piece(t)
+                    payload = json.dumps({"content": piece, "stop": False})
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+                    sent += 1
+                self.wfile.write(
+                    f"data: {json.dumps({'content': '', 'stop': True, 'tokens_predicted': sent})}\n\n".encode()
+                )
+                return
+
+            req = Request(prompt_ids=ids, n_predict=n_predict, sampling=_sampling_from_body(body))
+            engine.scheduler.submit(req)
+            req.done_event.wait()
+            text = tok.decode(req.generated)
+            if openai:
+                self._json(
+                    200,
+                    {
+                        "object": "text_completion",
+                        "choices": [{"text": text, "index": 0, "finish_reason": "stop"}],
+                        "usage": {
+                            "prompt_tokens": len(ids),
+                            "completion_tokens": len(req.generated),
+                        },
+                    },
+                )
+            else:
+                self._json(
+                    200,
+                    {
+                        "content": text,
+                        "tokens_predicted": len(req.generated),
+                        "tokens_evaluated": len(ids),
+                    },
+                )
+
+    return Handler
+
+
+def serve(model_path: str, host: str, port: int, *, n_cells=2048, max_slots=8):
+    ctx, tok = build_context(model_path, n_cells)
+    sched = BatchScheduler(ctx, max_slots=max_slots, eos_id=tok.vocab.eos_id)
+    engine = EngineState(sched, tok)
+    engine.start()
+    httpd = ThreadingHTTPServer((host, port), make_handler(engine))
+    return httpd, engine
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("pipeinfer-server", description=__doc__)
+    add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=8)
+    args = p.parse_args(argv)
+    httpd, engine = serve(args.model, args.host, args.port, n_cells=args.ctx_size, max_slots=args.slots)
+    print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
