@@ -122,6 +122,61 @@ def get_tok_oracle() -> Path | None:
     return _TOK_BIN if _TOK_BIN.exists() else None
 
 
+_GEN_BIN = Path("/tmp/pipeinfer_gen_oracle")
+
+
+def get_gen_oracle() -> Path | None:
+    """Greedy-generation oracle: the reference llama.cpp decoding a model
+    end-to-end (clean llama_decode loop, f32 KV)."""
+    if _GEN_BIN.exists():
+        return _GEN_BIN
+    if get_tok_oracle() is None:  # compiles the shared objects
+        return None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        objs = []
+        try:
+            for src, cc, extra in [
+                (_REF / "ggml.c", "gcc", ["-D_GNU_SOURCE"]),
+                (_REF / "ggml-alloc.c", "gcc", []),
+                (_REF / "ggml-backend.c", "gcc", []),
+                (_REF / "ggml-quants.c", "gcc", []),
+                (_REF / "ggml-mpi.c", "gcc", []),
+                (_SRC / "mpi_stub.c", "gcc", []),
+                (_SRC / "mpi_globals.c", "gcc", []),
+                (_REF / "llama.cpp", "g++", ["-std=c++11"]),
+                (_SRC / "gen_driver.cpp", "g++", ["-std=c++11"]),
+            ]:
+                obj = f"{td}/{src.stem}.o"
+                subprocess.run(
+                    [cc, "-O1", "-c", "-DGGML_USE_MPI", f"-I{_SRC}/include", f"-I{_REF}", *extra,
+                     str(src), "-o", obj],
+                    check=True, capture_output=True,
+                )
+                objs.append(obj)
+            subprocess.run(
+                ["g++", "-o", str(_GEN_BIN), *objs, "-lpthread", "-lm"],
+                check=True, capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    return _GEN_BIN if _GEN_BIN.exists() else None
+
+
+def ref_generate_greedy(model_gguf: str, prompt_ids: list[int], n: int) -> list[int] | None:
+    binpath = get_gen_oracle()
+    if binpath is None:
+        return None
+    out = subprocess.run(
+        [str(binpath), model_gguf, str(n), *(str(t) for t in prompt_ids)],
+        capture_output=True, timeout=600,
+    )
+    if out.returncode != 0:
+        return None
+    return [int(x) for x in out.stdout.split()]
+
+
 def ref_tokenize(vocab_gguf: str, texts: list[str], add_bos: bool = True) -> list[list[int]] | None:
     binpath = get_tok_oracle()
     if binpath is None:
