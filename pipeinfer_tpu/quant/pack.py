@@ -277,13 +277,26 @@ def _split_pack_bits1(v: np.ndarray) -> np.ndarray:
     return packed.astype(U8).reshape(n, k // 8)
 
 
-def pack(raw: np.ndarray, qtype: GGMLQuantType, shape: tuple[int, int]) -> PackedWeight:
-    """Repack a raw ggml payload for an [N, K] row-major weight."""
+def pack(
+    raw: np.ndarray, qtype: GGMLQuantType, shape: tuple[int, int], backend: str = "auto"
+) -> PackedWeight:
+    """Repack a raw ggml payload for an [N, K] row-major weight.
+
+    backend: "auto" uses the native C++ repacker when available (model-load
+    hot path), "numpy" forces the reference implementation."""
     n, k = shape
     be, bb = QUANT_BLOCK_INFO[qtype]
     if k % be != 0:
         raise ValueError(f"K={k} not a multiple of {qtype.name} block {be}")
     bits, group = FORMAT_INFO[qtype]
+
+    if backend == "auto" and k % min(PACK_GROUP, k) == 0:
+        from .. import native
+
+        out = native.repack(np.asarray(raw, U8), qtype, n, k)
+        if out is not None:
+            qs, qh, s, b = out
+            return PackedWeight(qtype, (n, k), qs, qh, s, b)
     q, s, bias = _QUANTS[qtype](np.asarray(raw, dtype=U8))
     q = q.reshape(n, k)
     # scale planes come per block; reshape to [N, K/G]
