@@ -36,11 +36,16 @@ def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16", need
     return ctx, tok
 
 
-def generate(ctx, tok, sampler: SamplerState, prompt_ids, n_predict, *, ignore_eos=False, stream=None):
-    """Greedy/sampled generation on sequence 0. Yields token ids."""
+def generate(ctx, tok, sampler: SamplerState, prompt_ids, n_predict, *,
+             ignore_eos=False, stream=None, cached_prefix=0):
+    """Greedy/sampled generation on sequence 0. Returns token ids.
+
+    cached_prefix > 0 skips prefilling that many prompt tokens (their cells
+    were restored from a session file)."""
     batch = Batch()
-    for i, t in enumerate(prompt_ids):
-        batch.add(t, i, 0, want_logits=(i == len(prompt_ids) - 1))
+    start = min(cached_prefix, len(prompt_ids) - 1)  # always decode the last
+    for i in range(start, len(prompt_ids)):
+        batch.add(prompt_ids[i], i, 0, want_logits=(i == len(prompt_ids) - 1))
     logits = ctx.decode(batch)[-1]
     out = []
     n_past = len(prompt_ids)
@@ -71,6 +76,12 @@ def main(argv=None):
     add_model_args(p)
     add_gen_args(p)
     add_sampling_args(p)
+    p.add_argument(
+        "--prompt-cache",
+        default="",
+        help="session file: reuse/extend a cached prompt prefill "
+        "(ref: main --prompt-cache + llama session files)",
+    )
     args = p.parse_args(argv)
 
     ctx, tok = build_context(args.model, args.ctx_size, args.cache_dtype)
@@ -94,7 +105,35 @@ def main(argv=None):
         sys.stdout.write(tok.piece(token_id))
         sys.stdout.flush()
 
-    generate(ctx, tok, sampler, ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)
+    # prompt cache: skip re-prefilling a previously saved matching prompt
+    # (ref: examples/main session logic)
+    cached_prefix = 0
+    if args.prompt_cache:
+        import os
+
+        from ..runtime import state as rstate
+
+        if os.path.exists(args.prompt_cache):
+            try:
+                cached = rstate.load_state(ctx, args.prompt_cache) or []
+                if cached[: len(ids)] == ids[: len(cached)]:
+                    # keep at most len(ids)-1 cells; the final prompt token is
+                    # re-decoded to produce fresh logits (drop newer cells)
+                    cached_prefix = min(len(cached), len(ids) - 1)
+                    ctx.seq_rm(0, cached_prefix, -1)
+                else:
+                    ctx.clear_cache()
+            except ValueError as e:
+                print(f"prompt-cache ignored: {e}", file=sys.stderr)
+
+    out = generate(
+        ctx, tok, sampler, ids, args.n_predict,
+        ignore_eos=args.ignore_eos, stream=stream, cached_prefix=cached_prefix,
+    )
+    if args.prompt_cache:
+        from ..runtime import state as rstate
+
+        rstate.save_state(ctx, args.prompt_cache, tokens=ids + out)
     sys.stdout.write("\n")
     ctx.print_timings(lambda s: print(s, file=sys.stderr))
     return 0

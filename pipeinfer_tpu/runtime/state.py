@@ -28,9 +28,15 @@ SESSION_VERSION = 1
 
 def state_arrays(ctx: InferenceContext) -> dict[str, np.ndarray]:
     c = ctx.cache
+    k = np.asarray(c.k)
+    v = np.asarray(c.v)
+    if k.dtype not in (np.float32, np.float16):
+        # bf16 (ml_dtypes) has no npz cast; store raw 16-bit payloads
+        k = k.view(np.uint16)
+        v = v.view(np.uint16)
     return {
-        "k": np.asarray(c.k),
-        "v": np.asarray(c.v),
+        "k": k,
+        "v": v,
         "pos": np.asarray(c.pos),
         "seq": np.asarray(c.seq),
         "h_pos": ctx.h_pos,
@@ -67,9 +73,15 @@ def load_state(ctx: InferenceContext, path: str | Path) -> list[int] | None:
                 f"layers {meta['n_layers']} vs {ctx.cfg.n_layers})"
             )
         dtype = ctx.cache.k.dtype
+        k_host, v_host = z["k"], z["v"]
+        if k_host.dtype == np.uint16:  # stored bf16 payloads
+            import ml_dtypes
+
+            k_host = k_host.view(ml_dtypes.bfloat16)
+            v_host = v_host.view(ml_dtypes.bfloat16)
         ctx.cache = kv.KVCache(
-            k=jnp.asarray(z["k"], dtype),
-            v=jnp.asarray(z["v"], dtype),
+            k=jnp.asarray(k_host, dtype),
+            v=jnp.asarray(v_host, dtype),
             pos=jnp.asarray(z["pos"], jnp.int32),
             seq=jnp.asarray(z["seq"], jnp.uint32),
         )

@@ -1,0 +1,53 @@
+"""KV-cache introspection for debugging speculation rollback.
+
+Counterpart of `llama_kv_cache_view` + `dump_kv_cache_view_seqs`
+(ref: llama.h view API, common/common.h:230-232; instantiated throughout
+speculative.cpp as the rollback debugging aid). Renders cells as one
+character per cell showing sequence membership — the same visual the
+reference prints."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def view(ctx) -> dict:
+    """Summarize a context's cache occupancy from the host mirror."""
+    used = int((ctx.h_pos >= 0).sum())
+    seqs = {}
+    for s in range(64):
+        cnt = int(((ctx.h_seq >> np.uint64(s)) & np.uint64(1)).sum())
+        if cnt:
+            seqs[s] = cnt
+    return {
+        "n_cells": ctx.n_cells,
+        "used_cells": used,
+        "max_pos": int(ctx.h_pos.max(initial=-1)),
+        "cells_per_seq": seqs,
+    }
+
+
+def dump_seqs(ctx, row_size: int = 64) -> str:
+    """One char per cell: '.' free, digit/letter = single sequence id,
+    '+' = shared by multiple sequences (ref: dump_kv_cache_view_seqs)."""
+    chars = []
+    alphabet = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ@#"
+    for i in range(ctx.n_cells):
+        if ctx.h_pos[i] < 0:
+            chars.append(".")
+            continue
+        bits = int(ctx.h_seq[i])
+        n = bin(bits).count("1")
+        if n > 1:
+            chars.append("+")
+        else:
+            chars.append(alphabet[bits.bit_length() - 1])
+    lines = [
+        "".join(chars[i : i + row_size]) for i in range(0, len(chars), row_size)
+    ]
+    summary = view(ctx)
+    head = (
+        f"cells {summary['used_cells']}/{summary['n_cells']} "
+        f"max_pos {summary['max_pos']} seqs {summary['cells_per_seq']}"
+    )
+    return head + "\n" + "\n".join(lines)
