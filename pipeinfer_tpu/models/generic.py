@@ -44,6 +44,7 @@ def forward(
     cell_idx: jax.Array,
     valid: jax.Array,
     seq_bits: jax.Array | None = None,
+    output_hidden: bool = False,
 ) -> tuple[jax.Array, kv.KVCache]:
     t = tokens.shape[0]
     h = embed(tokens, params["tok_embd"])
@@ -124,6 +125,8 @@ def forward(
             h = h + _ffn(f_in, lp, cfg)
 
     out = _norm(h, params["output_norm"], params.get("output_norm_b"), cfg)
+    if output_hidden:
+        return out.astype(jnp.float32), cache
     logits = linear(out, params["output"])
     return logits.astype(jnp.float32), cache
 

@@ -52,6 +52,7 @@ def forward(
     cell_idx: jax.Array,  # int32 [T] destination cache cells
     valid: jax.Array,  # bool [T] false for padding
     seq_bits: jax.Array | None = None,  # uint32 [T, SW] multi-seq membership
+    output_hidden: bool = False,  # return normed hidden states, not logits
 ) -> tuple[jax.Array, kv.KVCache]:
     """One decode/prefill step. Returns (logits [T, n_vocab] f32, cache')."""
     t = tokens.shape[0]
@@ -91,6 +92,8 @@ def forward(
         h = h + linear(gate * up, lp["w_down"])
 
     out = L.rms_norm(h, params["output_norm"], cfg.norm_eps)
+    if output_hidden:
+        return out.astype(jnp.float32), cache
     logits = linear(out, params["output"])
     return logits.astype(jnp.float32), cache
 
