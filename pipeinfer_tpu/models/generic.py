@@ -103,14 +103,8 @@ def forward(
             k = L.apply_rope(k, pos, cfg.rope_dims, **rope_kw)
 
         cache = kv.write_tokens(cache, li, cell_idx, k, v)
-        attn = kv.attention(
-            q,
-            cache.k[li],
-            cache.v[li],
-            mask,
-            scale=cfg.attn_scale,
-            alibi=slopes,
-            cache_pos=cache.pos if slopes is not None else None,
+        attn = kv.attend(
+            q, cache, li, mask, pos, seq, valid, scale=cfg.attn_scale, alibi=slopes
         )
         attn_out = linear(attn.reshape(t, cfg.n_heads * cfg.head_dim), lp["wo"], lp.get("bo"))
 

@@ -83,7 +83,7 @@ def forward(
             q = L.apply_rope(q, pos, cfg.rope_dims, **rope_kw)
             k = L.apply_rope(k, pos, cfg.rope_dims, **rope_kw)
         cache = kv.write_tokens(cache, li, cell_idx, k, v)
-        attn = kv.attention(q, cache.k[li], cache.v[li], mask, scale=cfg.attn_scale)
+        attn = kv.attend(q, cache, li, mask, pos, seq, valid, scale=cfg.attn_scale)
         h = h + linear(attn.reshape(t, cfg.n_heads * cfg.head_dim), lp["wo"])
 
         f = L.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)

@@ -1,0 +1,179 @@
+"""Pallas flash attention over the sequence-aware cell cache.
+
+The long-context hot path: instead of materializing [T, C] score/mask
+arrays in HBM (the dense fallback in runtime.kv_cache.attention), this
+kernel streams cell blocks through VMEM with online softmax, computing the
+tree-attention visibility mask *in-kernel* from per-cell (pos, seq-bitmask)
+metadata — so speculation's branch masking costs nothing extra. ALiBi bias
+is fused the same way.
+
+Layout: per kv-head query rows [KVH, T*G, D] (GQA groups flattened into
+rows — MXU-shaped), cache [KVH, C, D] head-major. Grid (KVH, C/BLOCK_C)
+with the cell axis innermost; m/l/acc live in VMEM scratch across blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e9
+
+
+def _kernel(
+    q_ref,  # (1, TG, D) f32
+    k_ref,  # (1, BC, D)
+    v_ref,  # (1, BC, D)
+    pos_ref,  # (1, BC) i32 cell positions
+    w0_ref,  # (1, BC) i32 seq word 0 (bitcast from uint32)
+    w1_ref,  # (1, BC) i32 seq word 1
+    tp_ref,  # (TG, 1) i32 token positions per row
+    tw_ref,  # (TG, 1) i32 token seq word index (0/1)
+    tb_ref,  # (TG, 1) i32 token seq bit shift (0..31)
+    tv_ref,  # (TG, 1) i32 row validity (1/0)
+    slope_ref,  # (1, TG, 1) f32 alibi slope per row (0 disables)
+    o_ref,  # (1, TG, D)
+    m_scr,  # (TG, 128) f32
+    l_scr,  # (TG, 128) f32
+    acc_scr,  # (TG, D) f32
+    *,
+    scale: float,
+    n_blocks: int,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (TG, D)
+    k = k_ref[0].astype(jnp.float32)  # (BC, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (TG, BC)
+
+    cpos = pos_ref[...]  # (1, BC)
+    w0 = w0_ref[...]
+    w1 = w1_ref[...]
+    tw = tw_ref[...]  # (TG, 1)
+    tb = tb_ref[...]
+    tp = tp_ref[...]
+    tv = tv_ref[...]
+
+    word = jnp.where(tw == 0, w0, w1)  # (TG, BC)
+    bit = jax.lax.shift_right_logical(word, tb) & 1
+    visible = (bit != 0) & (cpos <= tp) & (cpos >= 0) & (tv != 0)
+    s = s + jnp.where(visible, 0.0, NEG)
+    slope = slope_ref[0]  # (TG, 1)
+    s = s + slope * jnp.maximum(cpos, 0).astype(jnp.float32)
+
+    m_prev = m_scr[:, :1]  # (TG, 1)
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+    m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
+
+    v = v_ref[0].astype(jnp.float32)  # (BC, D)
+    pv = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_scr[...] = acc_scr[...] * alpha + pv
+
+    @pl.when(j == n_blocks - 1)
+    def _store():
+        l_f = l_scr[:, :1]
+        safe = jnp.where(l_f == 0.0, 1.0, l_f)
+        o_ref[0] = (acc_scr[...] / safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_c", "interpret")
+)
+def cell_attention(
+    q: jax.Array,  # [T, H, D]
+    k_cache: jax.Array,  # [KVH, C, D]
+    v_cache: jax.Array,  # [KVH, C, D]
+    cell_pos: jax.Array,  # [C] i32
+    cell_seq: jax.Array,  # [C, 2] u32
+    tok_pos: jax.Array,  # [T] i32
+    tok_seq: jax.Array,  # [T] i32
+    valid: jax.Array,  # [T] bool
+    *,
+    scale: float,
+    alibi: jax.Array | None = None,  # [H] f32 slopes
+    block_c: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    t, h, d = q.shape
+    kvh, c, _ = k_cache.shape
+    g = h // kvh
+    assert c % block_c == 0, (c, block_c)
+
+    # per-kv-head query rows, padded to a sublane multiple
+    tg = t * g
+    tg_pad = max(8, -(-tg // 8) * 8)
+    qr = q.astype(jnp.float32).reshape(t, kvh, g, d).transpose(1, 0, 2, 3).reshape(kvh, tg, d)
+    qr = jnp.pad(qr, ((0, 0), (0, tg_pad - tg), (0, 0)))
+
+    def rows(x, fill=0):
+        r = jnp.repeat(x, g, total_repeat_length=tg)
+        return jnp.pad(r, (0, tg_pad - tg), constant_values=fill)[:, None]
+
+    tp = rows(tok_pos.astype(jnp.int32))
+    tw = rows((tok_seq // 32).astype(jnp.int32))
+    tb = rows((tok_seq % 32).astype(jnp.int32))
+    tv = rows(valid.astype(jnp.int32))
+    if alibi is not None:
+        srow = alibi.astype(jnp.float32).reshape(kvh, g)
+        srow = jnp.tile(srow[:, None, :], (1, t, 1)).reshape(kvh, tg)
+        srow = jnp.pad(srow, ((0, 0), (0, tg_pad - tg)))[..., None]  # [KVH, TG, 1]
+    else:
+        srow = jnp.zeros((kvh, tg_pad, 1), jnp.float32)
+
+    pos2 = cell_pos.astype(jnp.int32)[None, :]  # (1, C)
+    w0 = cell_seq[:, 0].astype(jnp.int32)[None, :]
+    w1 = cell_seq[:, 1].astype(jnp.int32)[None, :]
+
+    n_blocks = c // block_c
+    grid = (kvh, n_blocks)
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, n_blocks=n_blocks),
+        out_shape=jax.ShapeDtypeStruct((kvh, tg_pad, d), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tg_pad, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, block_c, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_c, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
+            pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
+            pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, tg_pad, 1), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tg_pad, d), lambda i, j: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tg_pad, 128), jnp.float32),
+            pltpu.VMEM((tg_pad, 128), jnp.float32),
+            pltpu.VMEM((tg_pad, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qr, k_cache, v_cache, pos2, w0, w1, tp, tw, tb, tv, srow)
+
+    out = out[:, :tg].reshape(kvh, t, g, d).transpose(1, 0, 2, 3).reshape(t, h, d)
+    return out

@@ -38,8 +38,9 @@ MASK_VALUE = -1e9  # additive mask (finite to avoid exp(-inf - -inf) NaN)
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # [L, C, KVH, D]
-    v: jax.Array  # [L, C, KVH, D]
+    k: jax.Array  # [L, KVH, C, D] (head-major: clean per-head tiles for
+    #               the Pallas attention kernel and contiguous head reads)
+    v: jax.Array  # [L, KVH, C, D]
     pos: jax.Array  # int32 [C], -1 = free
     seq: jax.Array  # uint32 [C, SEQ_WORDS] membership bitmask
 
@@ -61,8 +62,8 @@ class KVCache:
 
 def create(n_layers: int, n_cells: int, n_kv_heads: int, head_dim: int, dtype=jnp.bfloat16) -> KVCache:
     return KVCache(
-        k=jnp.zeros((n_layers, n_cells, n_kv_heads, head_dim), dtype),
-        v=jnp.zeros((n_layers, n_cells, n_kv_heads, head_dim), dtype),
+        k=jnp.zeros((n_layers, n_kv_heads, n_cells, head_dim), dtype),
+        v=jnp.zeros((n_layers, n_kv_heads, n_cells, head_dim), dtype),
         pos=jnp.full((n_cells,), -1, jnp.int32),
         seq=jnp.zeros((n_cells, SEQ_WORDS), jnp.uint32),
     )
@@ -91,9 +92,12 @@ def write_tokens(
     k_new: jax.Array,  # [T, KVH, D]
     v_new: jax.Array,
 ) -> KVCache:
-    """Store K/V rows for one layer at the given cells."""
-    k = cache.k.at[layer, cell_idx].set(k_new.astype(cache.k.dtype))
-    v = cache.v.at[layer, cell_idx].set(v_new.astype(cache.v.dtype))
+    """Store K/V rows for one layer at the given cells (k_new [T, KVH, D]).
+
+    Note: mixed basic/advanced indexing puts the cell axis FIRST, so the
+    update operand is [T, KVH, D] directly."""
+    k = cache.k.at[layer, :, cell_idx].set(k_new.astype(cache.k.dtype))
+    v = cache.v.at[layer, :, cell_idx].set(v_new.astype(cache.v.dtype))
     return dataclasses.replace(cache, k=k, v=v)
 
 
@@ -186,14 +190,18 @@ def seq_shift(
     new_pos = jnp.where(hit, cache.pos + delta, cache.pos)
 
     # rotate K of affected cells by delta across all layers:
-    # [L, C, KVH, D] -> rope with per-cell angle delta (0 where unaffected)
-    l_, c, kvh, d = cache.k.shape
+    # [L, KVH, C, D] -> rope with per-cell angle delta (0 where unaffected)
+    l_, kvh, c, d = cache.k.shape
     per_cell_delta = jnp.where(hit, jnp.asarray(delta, jnp.int32), 0)
-    k2 = cache.k.reshape(l_ * c, kvh, d)
+    k2 = cache.k.transpose(0, 2, 1, 3).reshape(l_ * c, kvh, d)
     deltas = jnp.tile(per_cell_delta, (l_,))
-    k_rot = apply_rope(
-        k2, deltas, rope_dims, mode=rope_mode, freq_base=freq_base, freq_scale=freq_scale
-    ).reshape(l_, c, kvh, d)
+    k_rot = (
+        apply_rope(
+            k2, deltas, rope_dims, mode=rope_mode, freq_base=freq_base, freq_scale=freq_scale
+        )
+        .reshape(l_, c, kvh, d)
+        .transpose(0, 2, 1, 3)
+    )
 
     dropped = hit & (new_pos < 0)
     final_pos = jnp.where(dropped, -1, new_pos)
@@ -244,8 +252,8 @@ def alibi_slopes(n_heads: int, max_bias: float) -> jax.Array:
 
 def attention(
     q: jax.Array,  # [T, H, D]
-    k_cache: jax.Array,  # [C, KVH, D]
-    v_cache: jax.Array,  # [C, KVH, D]
+    k_cache: jax.Array,  # [KVH, C, D]
+    v_cache: jax.Array,  # [KVH, C, D]
     mask: jax.Array,  # [T, C] additive
     *,
     scale: float,
@@ -255,15 +263,15 @@ def attention(
     """Dense masked SDPA over the whole cell array (GQA-aware), with
     optional ALiBi position bias (ref: ggml_alibi — bias = slope * key pos).
 
-    C is static so XLA sees fixed shapes; free cells are masked. A Pallas
-    flash/paged kernel can swap in here for long contexts."""
+    C is static so XLA sees fixed shapes; free cells are masked. For long
+    cell arrays the Pallas flash kernel (ops.cell_attention) takes over."""
     t, h, d = q.shape
-    c, kvh, _ = k_cache.shape
+    kvh, c, _ = k_cache.shape
     gsize = h // kvh
     qf = q.astype(jnp.float32).reshape(t, kvh, gsize, d)
     kf = k_cache.astype(jnp.float32)
     vf = v_cache.astype(jnp.float32)
-    scores = jnp.einsum("tkgd,ckd->tkgc", qf, kf) * scale
+    scores = jnp.einsum("tkgd,kcd->tkgc", qf, kf) * scale
     scores = scores + mask[:, None, None, :]
     if alibi is not None:
         bias = alibi.reshape(kvh, gsize)[None, :, :, None] * jnp.maximum(
@@ -271,5 +279,49 @@ def attention(
         ).astype(jnp.float32)[None, None, None, :]
         scores = scores + bias
     p = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("tkgc,ckd->tkgd", p, vf)
+    out = jnp.einsum("tkgc,kcd->tkgd", p, vf)
     return out.reshape(t, h, d)
+
+
+# cells at/above this use the Pallas flash kernel (in-kernel tree masks,
+# no [T, C] score materialization); below it the dense fused path wins on
+# dispatch overhead. Override via PIPEINFER_FLASH_MIN_CELLS.
+import os as _os
+
+FLASH_MIN_CELLS = int(_os.environ.get("PIPEINFER_FLASH_MIN_CELLS", 8192))
+
+
+def attend(
+    q: jax.Array,
+    cache: KVCache,
+    layer,
+    mask: jax.Array,
+    tok_pos: jax.Array,
+    tok_seq: jax.Array,
+    valid: jax.Array,
+    *,
+    scale: float,
+    alibi: jax.Array | None = None,
+) -> jax.Array:
+    """Attention dispatcher: dense masked SDPA for short cell arrays, the
+    Pallas flash cell kernel for long ones (TPU only)."""
+    c = cache.n_cells
+    if c >= FLASH_MIN_CELLS and c % 512 == 0 and jax.default_backend() == "tpu":
+        from ..ops.cell_attention import cell_attention
+
+        return cell_attention(
+            q,
+            cache.k[layer],
+            cache.v[layer],
+            cache.pos,
+            cache.seq,
+            tok_pos,
+            tok_seq,
+            valid,
+            scale=scale,
+            alibi=alibi,
+        )
+    return attention(
+        q, cache.k[layer], cache.v[layer], mask, scale=scale,
+        alibi=alibi, cache_pos=cache.pos if alibi is not None else None,
+    )
