@@ -109,6 +109,7 @@ class Keys:
     ROPE_FREQ_BASE = "{arch}.rope.freq_base"
     ROPE_SCALING_TYPE = "{arch}.rope.scaling.type"
     ROPE_SCALING_FACTOR = "{arch}.rope.scaling.factor"
+    ROPE_SCALING_ORIG_CTX = "{arch}.rope.scaling.original_context_length"
     ROPE_SCALE_LINEAR = "{arch}.rope.scale_linear"
     HEAD_COUNT = "{arch}.attention.head_count"
     HEAD_COUNT_KV = "{arch}.attention.head_count_kv"

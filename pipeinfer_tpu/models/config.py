@@ -31,6 +31,7 @@ class ModelConfig:
     parallel_residual: bool = False
     tok_norm: bool = False  # bloom embedding layernorm
     pos_embd: bool = False  # starcoder learned absolute positions
+    n_ctx_orig: int = 0  # yarn original training context (0 = n_ctx_train)
     # YaRN (ref: llama.h:186-196)
     yarn_ext_factor: float = 0.0
     yarn_attn_factor: float = 1.0
@@ -71,6 +72,10 @@ def config_from_gguf(r: GGUFReader) -> ModelConfig:
     if scale is None:
         scale = r.field(Keys.ROPE_SCALE_LINEAR)
     rope_scale = 1.0 / float(scale) if scale else 1.0
+    scaling_type = str(r.field(Keys.ROPE_SCALING_TYPE, "linear") or "linear")
+    # yarn: ext_factor 1 (ref: llama.cpp cparams derivation) + orig ctx len
+    yarn_ext = 1.0 if scaling_type == "yarn" else 0.0
+    n_ctx_orig = int(r.field(Keys.ROPE_SCALING_ORIG_CTX, 0) or 0)
     eps = r.field(Keys.LAYER_NORM_RMS_EPS)
     rms = eps is not None
     if eps is None:
@@ -107,6 +112,8 @@ def config_from_gguf(r: GGUFReader) -> ModelConfig:
         rope_scale=rope_scale,
         norm_eps=float(eps),
         n_ctx_train=int(r.field(Keys.CONTEXT_LENGTH, 2048) or 2048),
+        n_ctx_orig=n_ctx_orig,
+        yarn_ext_factor=yarn_ext,
         clamp_kqv=float(r.field(Keys.CLAMP_KQV, 0.0) or 0.0),
         **{
             "rope_mode": traits.get("rope_mode", "norm"),

@@ -53,7 +53,7 @@ def stage_forward(
         yarn_attn_factor=cfg.yarn_attn_factor,
         yarn_beta_fast=cfg.yarn_beta_fast,
         yarn_beta_slow=cfg.yarn_beta_slow,
-        n_orig_ctx=cfg.n_ctx_train,
+        n_orig_ctx=cfg.n_ctx_orig or cfg.n_ctx_train,
     )
 
     for li, lp in enumerate(stage_params["layers"]):

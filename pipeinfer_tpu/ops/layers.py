@@ -72,7 +72,8 @@ def _rope_angles(
 
         low = max(0.0, np.floor(corr_dim(yarn_beta_fast)))
         high = min(half * 2 - 1.0, np.ceil(corr_dim(yarn_beta_slow)))
-        ramp = jnp.clip((2.0 * idx - low) / max(high - low, 1e-3), 0.0, 1.0)
+        # ramp over the PAIR index (ggml rope_yarn_ramp uses i0/2)
+        ramp = jnp.clip((idx - low) / max(high - low, 1e-3), 0.0, 1.0)
         ramp_mix = (1.0 - ramp) * yarn_ext_factor
         theta_interp = freq_scale * theta_extrap
         theta = theta_interp * (1.0 - ramp_mix) + theta_extrap * ramp_mix

@@ -82,3 +82,48 @@ def test_q8_model_stream_close_to_reference(tmp_path):
     assert prefix >= 2, f"q8 prefix {prefix}: {got} vs {want}"
     # and our q8 stream must stay consistent with our own f32 semantics
     assert all(isinstance(t, int) and 0 <= t < 32000 for t in got)
+
+
+def test_yarn_token_stream_matches_reference(tmp_path):
+    """YaRN rope scaling: metadata-driven, golden vs the reference.
+
+    The tiny model carries rope.scaling.type=yarn + factor + original
+    context length; the reference context derives ext_factor=1 from it and
+    our config must reproduce the identical token stream at positions past
+    the original context."""
+    from pipeinfer_tpu.gguf.constants import Keys
+    from pipeinfer_tpu.tools.testmodel import random_llama_weights, write_llama_gguf
+
+    cfg = dict(n_layers=2, n_embd=256, n_ff=256, n_heads=4, n_kv_heads=2)
+    rng = np.random.default_rng(3)
+    w = random_llama_weights(rng, n_vocab=32000, **cfg)
+    path = tmp_path / "yarn.gguf"
+    # embed the real vocab + yarn scaling keys
+    from pipeinfer_tpu.gguf.reader import GGUFReader
+
+    with GGUFReader("/root/reference/models/ggml-vocab-llama.gguf") as r:
+        vocab_tokens = list(r.metadata[Keys.TOKENIZER_LIST])
+        extra = {
+            Keys.TOKENIZER_MODEL: "llama",
+            Keys.TOKENIZER_SCORES: np.asarray(r.metadata[Keys.TOKENIZER_SCORES], np.float32),
+            Keys.TOKENIZER_TOKEN_TYPE: np.asarray(r.metadata[Keys.TOKENIZER_TOKEN_TYPE], np.int32),
+            Keys.ROPE_SCALING_TYPE.format(arch="llama"): "yarn",
+            Keys.ROPE_SCALING_FACTOR.format(arch="llama"): np.float32(4.0),
+            Keys.ROPE_SCALING_ORIG_CTX.format(arch="llama"): np.uint32(64),
+        }
+    write_llama_gguf(path, w, n_vocab=32000, n_ctx=256,
+                     vocab_tokens=vocab_tokens, extra_kv=extra, **cfg)
+
+    from pipeinfer_tpu.models import load_model as _lm
+
+    _, mc = _lm(path)
+    assert mc.yarn_ext_factor == 1.0 and mc.n_ctx_orig == 64
+    assert mc.rope_scale == 0.25
+
+    # long prompt so rope runs well past the original 64-token context
+    prompt = [1] + list(np.random.default_rng(9).integers(10, 30000, 100))
+    want = oracle.ref_generate_greedy(str(path), prompt, 8)
+    if want is None:
+        pytest.skip("generation oracle unavailable")
+    got = _our_greedy(path, prompt, 8)
+    assert got == want, f"yarn stream mismatch: {got} vs {want}"
