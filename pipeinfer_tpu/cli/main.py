@@ -76,6 +76,10 @@ def main(argv=None):
     add_model_args(p)
     add_gen_args(p)
     add_sampling_args(p)
+    p.add_argument("--in-prefix", default=None,
+                   help="fill-in-middle: code before the cursor (ref: examples/infill)")
+    p.add_argument("--in-suffix", default=None,
+                   help="fill-in-middle: code after the cursor")
     p.add_argument(
         "--prompt-cache",
         default="",
@@ -94,7 +98,19 @@ def main(argv=None):
         sampler.grammar = grammar_state_from_gbnf(text, tok)
 
     prompt = read_prompt(args)
-    ids = tok.encode(prompt, add_bos=True)
+    if args.in_prefix is not None or args.in_suffix is not None:
+        v = tok.vocab
+        if v.fim_pre < 0 or v.fim_suf < 0 or v.fim_mid < 0:
+            raise SystemExit("error: this model's vocab has no fill-in-middle tokens")
+        ids = (
+            [v.bos_id, v.fim_pre]
+            + tok.encode(args.in_prefix or "", add_bos=False)
+            + [v.fim_suf]
+            + tok.encode(args.in_suffix or "", add_bos=False)
+            + [v.fim_mid]
+        )
+    else:
+        ids = tok.encode(prompt, add_bos=True)
     for t in ids:
         sampler.accept(t, apply_grammar=False)
     if not args.no_display_prompt:

@@ -130,3 +130,6 @@ class Keys:
     TOKENIZER_PAD_ID = "tokenizer.ggml.padding_token_id"
     TOKENIZER_ADD_BOS = "tokenizer.ggml.add_bos_token"
     TOKENIZER_ADD_EOS = "tokenizer.ggml.add_eos_token"
+    TOKENIZER_FIM_PRE = "tokenizer.ggml.prefix_token_id"
+    TOKENIZER_FIM_SUF = "tokenizer.ggml.suffix_token_id"
+    TOKENIZER_FIM_MID = "tokenizer.ggml.middle_token_id"

@@ -35,6 +35,9 @@ class Vocab:
     pad_id: int = -1
     add_bos: bool = True
     add_eos: bool = False
+    fim_pre: int = -1  # fill-in-middle specials (ref: llama_token_prefix etc.)
+    fim_suf: int = -1
+    fim_mid: int = -1
 
     @property
     def n_vocab(self) -> int:
@@ -59,6 +62,9 @@ def vocab_from_gguf(r: GGUFReader) -> Vocab:
         pad_id=int(md.get(Keys.TOKENIZER_PAD_ID, -1)),
         add_bos=bool(md.get(Keys.TOKENIZER_ADD_BOS, model == "llama")),
         add_eos=bool(md.get(Keys.TOKENIZER_ADD_EOS, False)),
+        fim_pre=int(md.get(Keys.TOKENIZER_FIM_PRE, -1)),
+        fim_suf=int(md.get(Keys.TOKENIZER_FIM_SUF, -1)),
+        fim_mid=int(md.get(Keys.TOKENIZER_FIM_MID, -1)),
     )
 
 

@@ -23,12 +23,12 @@ def target(tmp_path_factory):
     return load_model(path)
 
 
-def _run_controller(target_model, draft_model, sp):
+def _run_controller(target_model, draft_model, sp, sampling=None):
     tparams, tcfg = target_model
     dparams, dcfg = draft_model
     ctx_t = InferenceContext(tparams, tcfg, n_cells=256, cache_dtype=jnp.float32)
     ctx_d = InferenceContext(dparams, dcfg, n_cells=256, cache_dtype=jnp.float32)
-    c = PipeInferController(ctx_t, ctx_d, SamplingParams(temp=0.0), sp, eos_id=-1)
+    c = PipeInferController(ctx_t, ctx_d, sampling or SamplingParams(temp=0.0), sp, eos_id=-1)
     out = c.generate(list(PROMPT), N_PREDICT)
     # state-machine invariants after a run
     assert not c.runs
@@ -85,3 +85,42 @@ def test_async_throttle_disables_speculation(target):
     )
     assert got == want
     assert c.stats.n_drafted == 0
+
+
+def test_async_stochastic_sampling_exact(target):
+    """Under temp>0 with a fixed seed, the async engine must produce the
+    SAME stream as plain decoding: every position is sampled exactly once
+    from the target chain in order, so the RNG consumption sequence is
+    identical. (Stronger than the reference, which re-samples already
+    decided positions during verification.)"""
+    import jax.numpy as jnp
+    from pipeinfer_tpu.runtime.context import Batch
+    from pipeinfer_tpu.sampling.samplers import SamplerState, sample
+
+    params, cfg = target
+    sp_params = SamplingParams(temp=0.9, top_k=20, seed=1234)
+
+    # plain sampled decode
+    ctx = InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+    st = SamplerState(params=sp_params)
+    b = Batch()
+    for i, t in enumerate(PROMPT):
+        st.accept(t, apply_grammar=False)
+        b.add(t, i, 0, want_logits=(i == len(PROMPT) - 1))
+    logits = ctx.decode(b)[-1]
+    want = []
+    pos = len(PROMPT)
+    for _ in range(N_PREDICT):
+        tok = sample(st, logits)
+        st.accept(tok)
+        want.append(tok)
+        b.clear()
+        b.add(tok, pos, 0)
+        logits = ctx.decode(b)[0]
+        pos += 1
+
+    got, c = _run_controller(
+        target, target, SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3),
+        sampling=sp_params,
+    )
+    assert got == want, f"stochastic spec diverges: {got} vs {want}"

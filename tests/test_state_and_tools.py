@@ -94,3 +94,39 @@ def test_perplexity_tool(model):
     ppl, n = perplexity(ctx, TokStub(), "x", n_ctx=64)
     assert n > 0
     assert 1.0 < ppl < CFG["n_vocab"] * 2
+
+
+def test_beam_search(model):
+    """Beam 1 must equal greedy; beams stay sorted and improve on greedy
+    total logprob."""
+    from pipeinfer_tpu.tools.beam_search import beam_search
+    from pipeinfer_tpu.sampling.samplers import SamplerState, SamplingParams, sample
+
+    params, cfg = model
+    prompt = [5, 9, 23]
+
+    ctx = InferenceContext(params, cfg, n_cells=128, cache_dtype=jnp.float32)
+    beams = beam_search(ctx, prompt, 8, n_beams=1, eos_id=-1, topk=None)
+    assert len(beams) == 1
+
+    ctx2 = InferenceContext(params, cfg, n_cells=128, cache_dtype=jnp.float32)
+    st = SamplerState(params=SamplingParams(temp=0.0))
+    b = Batch()
+    for i, t in enumerate(prompt):
+        b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+    logits = ctx2.decode(b)
+    greedy = []
+    pos = len(prompt)
+    lg = logits[-1]
+    for _ in range(8):
+        tok = sample(st, lg)
+        greedy.append(tok)
+        b.clear(); b.add(tok, pos, 0); lg = ctx2.decode(b)[0]; pos += 1
+    assert beams[0][1] == greedy
+
+    ctx3 = InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+    beams4 = beam_search(ctx3, prompt, 8, n_beams=4, eos_id=-1, topk=None)
+    assert len(beams4) == 4
+    scores = [s for s, _ in beams4]
+    assert scores == sorted(scores, reverse=True)
+    assert beams4[0][0] >= beams[0][0] - 1e-4  # beam>=greedy
