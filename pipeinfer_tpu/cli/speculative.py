@@ -44,9 +44,35 @@ def main(argv=None):
     add_sampling_args(p)
     add_spec_args(p)
     p.add_argument("--sync", action="store_true", help="lock-step baseline (speculative_orig)")
+    p.add_argument("--stages", type=int, default=1,
+                   help="pipeline the target over N stage devices (the full "
+                   "PipeInfer topology; the draft stays on one device)")
+    p.add_argument("--layer-split", default="",
+                   help="stage weights for --stages (e.g. 0.1,0.45,0.45)")
     args = p.parse_args(argv)
 
-    ctx_tgt, tok = build_context(args.model, args.ctx_size, args.cache_dtype)
+    if args.stages > 1:
+        import jax
+        import jax.numpy as _jnp
+
+        from ..models import load_model as _lm
+        from ..parallel.stages import StagedInferenceContext
+        from ..gguf.reader import GGUFReader as _GR
+        from ..tokenizer import tokenizer_from_gguf as _tfg
+
+        params, cfg = _lm(args.model)
+        with _GR(args.model) as r:
+            tok = _tfg(r)
+        devs = (jax.devices() * args.stages)[: args.stages]
+        split = [float(x) for x in args.layer_split.split(",") if x] or None
+        ctx_tgt = StagedInferenceContext(
+            params, cfg, n_cells=args.ctx_size, devices=devs, split=split,
+            cache_dtype=_jnp.bfloat16 if args.cache_dtype == "bf16" else _jnp.float32,
+        )
+        print(f"target pipeline: {args.stages} stages, ranges {ctx_tgt.ranges}",
+              file=sys.stderr)
+    else:
+        ctx_tgt, tok = build_context(args.model, args.ctx_size, args.cache_dtype)
     ctx_dft, _ = build_context(args.model_draft, args.ctx_size, args.cache_dtype, need_tokenizer=False)
     if ctx_tgt.cfg.n_vocab != ctx_dft.cfg.n_vocab:
         print(

@@ -31,6 +31,7 @@ class ModelConfig:
     parallel_residual: bool = False
     tok_norm: bool = False  # bloom embedding layernorm
     pos_embd: bool = False  # starcoder learned absolute positions
+    ffn_act: str = "auto"  # "auto" (gate->silu else gelu) | "relu2" (persimmon)
     n_ctx_orig: int = 0  # yarn original training context (0 = n_ctx_train)
     # YaRN (ref: llama.h:186-196)
     yarn_ext_factor: float = 0.0
@@ -51,7 +52,7 @@ _ARCH_TRAITS: dict[str, dict] = {
     "baichuan": dict(rope_mode="norm"),  # 13B variant switches to alibi below
     "falcon": dict(rope_mode="neox", norm_rms=False, parallel_residual=True),
     "starcoder": dict(rope_mode="none", norm_rms=False, pos_embd=True),
-    "persimmon": dict(rope_mode="neox", norm_rms=False),
+    "persimmon": dict(rope_mode="neox", norm_rms=False, ffn_act="relu2"),
     "refact": dict(rope_mode="none", max_alibi_bias=8.0),
     "bloom": dict(rope_mode="none", norm_rms=False, tok_norm=True, max_alibi_bias=8.0),
     "mpt": dict(rope_mode="none", norm_rms=False, max_alibi_bias=8.0),
@@ -122,5 +123,6 @@ def config_from_gguf(r: GGUFReader) -> ModelConfig:
             "parallel_residual": traits.get("parallel_residual", False),
             "tok_norm": traits.get("tok_norm", False),
             "pos_embd": traits.get("pos_embd", False),
+            "ffn_act": traits.get("ffn_act", "auto"),
         },
     )

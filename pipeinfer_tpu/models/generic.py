@@ -126,11 +126,15 @@ def forward(
 
 
 def _ffn(x, lp, cfg: ModelConfig):
-    """ref: llm_build_ffn (llama.cpp:3637-3700) — gated SiLU or GELU-seq."""
+    """ref: llm_build_ffn (llama.cpp:3637-3700) — gated SiLU, GELU-seq, or
+    relu-squared (persimmon LLM_FFN_RELU_SQR)."""
     up = linear(x, lp["w_up"], lp.get("b_up"))
     if "w_gate" in lp:
         gate = L.silu(linear(x, lp["w_gate"], lp.get("b_gate")))
         mid = gate * up
+    elif cfg.ffn_act == "relu2":
+        r = jnp.maximum(up.astype(jnp.float32), 0.0)
+        mid = (r * r).astype(up.dtype)
     else:
         mid = jax.nn.gelu(up.astype(jnp.float32), approximate=False).astype(up.dtype)
     return linear(mid, lp["w_down"], lp.get("b_down"))

@@ -254,3 +254,55 @@ def test_stablelm_parity(tmp_path):
     with torch.no_grad():
         want = hf(torch.tensor([TOKENS])).logits[0].numpy()
     _check(_run_ours(path, TOKENS), want)
+
+
+def test_persimmon_parity(tmp_path):
+    conf = tf.PersimmonConfig(
+        vocab_size=160, hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=256, partial_rotary_factor=0.5, layer_norm_eps=1e-5,
+        qk_layernorm=True, max_position_embeddings=128, hidden_act="relu2",
+    )
+    torch.manual_seed(6)
+    hf = tf.PersimmonForCausalLM(conf).eval()
+    sd = _sd(hf)
+    path = tmp_path / "per.gguf"
+    w = GGUFWriter(path, "persimmon")
+    _common_kv(w, n_embd=64, n_layers=2, n_heads=4, n_kv=4, n_ff=256, n_vocab=160,
+               eps=1e-5, rope_dims=8)  # head_dim/2
+    w.add_tensor("token_embd.weight", sd["model.embed_tokens.weight"])
+    w.add_tensor("output_norm.weight", sd["model.final_layernorm.weight"])
+    w.add_tensor("output_norm.bias", sd["model.final_layernorm.bias"])
+    w.add_tensor("output.weight", sd["lm_head.weight"])
+
+    def deinterleave(qkv, n_head, d):
+        # HF persimmon fuses per-head [q;k;v]; runtime wants [Q;K;V]
+        # (ref: convert-persimmon-to-gguf reordering)
+        x = qkv.reshape(n_head, 3, d, -1) if qkv.ndim == 2 else qkv.reshape(n_head, 3, d)
+        out = np.concatenate([x[:, 0], x[:, 1], x[:, 2]], axis=0)
+        return out.reshape(3 * n_head * d, -1) if qkv.ndim == 2 else out.reshape(-1)
+
+    for i in range(2):
+        p = f"model.layers.{i}."
+        w.add_tensor(f"blk.{i}.attn_norm.weight", sd[p + "input_layernorm.weight"])
+        w.add_tensor(f"blk.{i}.attn_norm.bias", sd[p + "input_layernorm.bias"])
+        w.add_tensor(f"blk.{i}.attn_qkv.weight",
+                     deinterleave(sd[p + "self_attn.query_key_value.weight"], 4, 16))
+        w.add_tensor(f"blk.{i}.attn_qkv.bias",
+                     deinterleave(sd[p + "self_attn.query_key_value.bias"], 4, 16))
+        w.add_tensor(f"blk.{i}.attn_q_norm.weight", sd[p + "self_attn.q_layernorm.weight"])
+        w.add_tensor(f"blk.{i}.attn_q_norm.bias", sd[p + "self_attn.q_layernorm.bias"])
+        w.add_tensor(f"blk.{i}.attn_k_norm.weight", sd[p + "self_attn.k_layernorm.weight"])
+        w.add_tensor(f"blk.{i}.attn_k_norm.bias", sd[p + "self_attn.k_layernorm.bias"])
+        w.add_tensor(f"blk.{i}.attn_output.weight", sd[p + "self_attn.dense.weight"])
+        w.add_tensor(f"blk.{i}.attn_output.bias", sd[p + "self_attn.dense.bias"])
+        w.add_tensor(f"blk.{i}.ffn_norm.weight", sd[p + "post_attention_layernorm.weight"])
+        w.add_tensor(f"blk.{i}.ffn_norm.bias", sd[p + "post_attention_layernorm.bias"])
+        w.add_tensor(f"blk.{i}.ffn_up.weight", sd[p + "mlp.dense_h_to_4h.weight"])
+        w.add_tensor(f"blk.{i}.ffn_up.bias", sd[p + "mlp.dense_h_to_4h.bias"])
+        w.add_tensor(f"blk.{i}.ffn_down.weight", sd[p + "mlp.dense_4h_to_h.weight"])
+        w.add_tensor(f"blk.{i}.ffn_down.bias", sd[p + "mlp.dense_4h_to_h.bias"])
+    w.write()
+
+    with torch.no_grad():
+        want = hf(torch.tensor([TOKENS])).logits[0].numpy()
+    _check(_run_ours(path, TOKENS), want, tol=8e-3)
