@@ -210,17 +210,17 @@ class StagedInferenceContext:
         for sq in seqs:
             self.h_seq[hit] |= np.uint64(1) << np.uint64(sq)
 
-    def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int):
+    def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int, dst: int = 0):
         from ..runtime.context import _jit_consolidate
 
         for i in range(len(self.caches)):
             self.caches[i] = _jit_consolidate(
                 self.caches[i], np.int32(win_seq), np.asarray(branch_seqs, np.int32),
-                np.int32(p0), np.int32(p1),
+                np.int32(p0), np.int32(p1), np.int32(dst),
             )
         win_bit = np.uint64(1) << np.uint64(win_seq)
         hit = ((self.h_seq & win_bit) != 0) & (self.h_pos >= p0) & (self.h_pos < p1)
-        self.h_seq[hit] |= np.uint64(1)
+        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
         for sq in branch_seqs:
             self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
         self.h_pos[self.h_seq == 0] = -1

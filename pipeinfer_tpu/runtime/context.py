@@ -313,15 +313,16 @@ class InferenceContext:
         for sq in seqs:
             self.h_seq[hit] |= np.uint64(1) << np.uint64(sq)
 
-    def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int):
-        """Fused: share win_seq's cells [p0, p1) with seq 0, then drop all
-        branch seqs (verification retirement hot path)."""
+    def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int, dst: int = 0):
+        """Fused: share win_seq's cells [p0, p1) with the committed sequence
+        `dst`, then drop all branch seqs (verification retirement hot path)."""
         self.cache = _jit_consolidate(
-            self.cache, np.int32(win_seq), np.asarray(branch_seqs, np.int32), np.int32(p0), np.int32(p1)
+            self.cache, np.int32(win_seq), np.asarray(branch_seqs, np.int32),
+            np.int32(p0), np.int32(p1), np.int32(dst),
         )
         win_bit = np.uint64(1) << np.uint64(win_seq)
         hit = ((self.h_seq & win_bit) != 0) & (self.h_pos >= p0) & (self.h_pos < p1)
-        self.h_seq[hit] |= np.uint64(1)
+        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
         for sq in branch_seqs:
             self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
         self.h_pos[self.h_seq == 0] = -1
@@ -354,8 +355,8 @@ def _jit_prepare_seqs(cache, src, seqs, p1):
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _jit_consolidate(cache, win_seq, branch_seqs, p0, p1):
-    cache = kv.seq_cp(cache, win_seq, 0, p0, p1)
+def _jit_consolidate(cache, win_seq, branch_seqs, p0, p1, dst=0):
+    cache = kv.seq_cp(cache, win_seq, dst, p0, p1)
     for i in range(branch_seqs.shape[0]):
         cache = kv.seq_rm(cache, branch_seqs[i], 0, -1)
     return cache

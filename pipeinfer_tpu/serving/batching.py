@@ -140,3 +140,96 @@ class BatchScheduler:
         while not stop.is_set():
             if self.step() == 0:
                 time.sleep(idle_sleep)
+
+
+class SpecBatchScheduler:
+    """Continuous batching WITH asynchronous speculation: the BatchScheduler
+    surface (submit/step/serve_forever over serving Requests) backed by the
+    MultiPipeInfer engine — each slot is a full PipeInfer stream with its
+    own draft trees and in-flight verification runs. The reference keeps
+    speculation (examples/speculative) and continuous batching
+    (examples/server, examples/parallel) in separate drivers; here
+    `pipeinfer-server --draft d.gguf` serves both at once."""
+
+    def __init__(
+        self,
+        ctx: InferenceContext,
+        ctx_dft: InferenceContext,
+        *,
+        spec_params=None,
+        max_slots: int | None = None,
+        eos_id: int = 2,
+    ):
+        from ..spec.multi import MultiPipeInfer
+        from ..spec.params import SpecParams
+
+        self.ctx = ctx
+        self.engine = MultiPipeInfer(
+            ctx,
+            ctx_dft,
+            SamplingParams(),
+            spec_params or SpecParams(),
+            eos_id=eos_id,
+            max_streams=max_slots,
+        )
+        self.max_slots = self.engine.max_streams
+        self.queue: list[Request] = []
+        self._live: dict[int, Request] = {}  # SpecRequest.id -> serving req
+        self.lock = threading.Lock()
+
+    def submit(self, req: Request) -> Request:
+        with self.lock:
+            self.queue.append(req)
+        return req
+
+    @property
+    def busy(self) -> bool:
+        return bool(self.queue) or bool(self.engine.active) or bool(self.engine.pending)
+
+    def _drain_queue(self):
+        with self.lock:
+            q, self.queue = self.queue, []
+        for req in q:
+
+            def cb(t, _r=req):
+                _r.generated.append(t)
+                if _r.stream:
+                    _r.stream(t)
+
+            sreq = self.engine.submit(
+                req.prompt_ids,
+                req.n_predict,
+                sampling=req.sampling,
+                stream=cb,
+                ignore_eos=req.ignore_eos,
+            )
+            req.rid = sreq.id
+            self._live[sreq.id] = req
+
+        # reap finished streams
+        live_ids = {r.id for r in self.engine.active}
+        live_ids |= {r.id for r in self.engine.pending}
+        for sid in list(self._live):
+            if sid not in live_ids:
+                req = self._live.pop(sid)
+                req.done = True
+                req.done_event.set()
+
+    def step(self) -> int:
+        self._drain_queue()
+        progressed = self.engine.step()
+        self._drain_queue()
+        return 1 if progressed else 0
+
+    def run_until_idle(self):
+        while self.busy:
+            self.step()
+        self._drain_queue()
+
+    def serve_forever(self, stop: threading.Event, idle_sleep: float = 0.005):
+        import time
+
+        while not stop.is_set():
+            if self.step() == 0:
+                self._drain_queue()
+                time.sleep(idle_sleep)

@@ -161,9 +161,27 @@ def make_handler(engine: EngineState):
     return Handler
 
 
-def serve(model_path: str, host: str, port: int, *, n_cells=2048, max_slots=8):
+def serve(
+    model_path: str,
+    host: str,
+    port: int,
+    *,
+    n_cells=2048,
+    max_slots=8,
+    draft_path: str | None = None,
+    spec_params=None,
+):
     ctx, tok = build_context(model_path, n_cells)
-    sched = BatchScheduler(ctx, max_slots=max_slots, eos_id=tok.vocab.eos_id)
+    if draft_path:
+        from .batching import SpecBatchScheduler
+
+        ctx_dft, _ = build_context(draft_path, n_cells, need_tokenizer=False)
+        sched = SpecBatchScheduler(
+            ctx, ctx_dft, spec_params=spec_params, max_slots=max_slots,
+            eos_id=tok.vocab.eos_id,
+        )
+    else:
+        sched = BatchScheduler(ctx, max_slots=max_slots, eos_id=tok.vocab.eos_id)
     engine = EngineState(sched, tok)
     engine.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(engine))
@@ -176,8 +194,21 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--draft", default=None, metavar="GGUF",
+                   help="draft model: serve with asynchronous speculation "
+                   "(each slot becomes a PipeInfer stream)")
+    p.add_argument("--n-draft", type=int, default=8, help="draft tree depth (with --draft)")
+    p.add_argument("--max-inflight", type=int, default=3,
+                   help="speculative runs in flight per slot (with --draft)")
     args = p.parse_args(argv)
-    httpd, engine = serve(args.model, args.host, args.port, n_cells=args.ctx_size, max_slots=args.slots)
+    spec = None
+    if args.draft:
+        from ..spec.params import SpecParams
+
+        spec = SpecParams(n_draft=args.n_draft, n_parallel=1, p_accept=0.0,
+                          max_inflight=args.max_inflight)
+    httpd, engine = serve(args.model, args.host, args.port, n_cells=args.ctx_size,
+                          max_slots=args.slots, draft_path=args.draft, spec_params=spec)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:
         httpd.serve_forever()

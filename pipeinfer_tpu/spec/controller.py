@@ -108,12 +108,18 @@ class PipeInferController:
         sp: SpecParams,
         *,
         eos_id: int = 2,
+        seq_base: int = 0,
+        offsets: "deque[int] | None" = None,
     ):
+        """seq_base: the committed sequence slot for this stream (multi-
+        request engines give each request a disjoint slot namespace and a
+        shared branch-offset pool via `offsets`)."""
         self.tgt = ctx_tgt
         self.dft = ctx_dft
         self.sampling = sampling
         self.sp = sp
         self.eos_id = eos_id
+        self.seq_base = seq_base
         self.stats = SpecStats()
         self.metrics = PipeInferMetrics()
         # sparse logits head: ship top-K + normalizer instead of the vocab
@@ -125,8 +131,10 @@ class PipeInferController:
 
         self.runs: deque[AsyncRun] = deque()  # newest appended right
         n_par = sp.n_parallel
-        self.free_offsets: deque[int] = deque(
-            1 + i * n_par for i in range(sp.max_inflight)
+        self.free_offsets: deque[int] = (
+            offsets
+            if offsets is not None
+            else deque(seq_base + 1 + i * n_par for i in range(sp.max_inflight))
         )
         self.n_rejected = 0
 
@@ -170,7 +178,7 @@ class PipeInferController:
         """Safety/prefill run on sequence 0 (ref: begin_non_spec_run)."""
         b = Batch()
         for i, t in enumerate(tokens):
-            b.add(t, base + i, 0, want_logits=(i == len(tokens) - 1))
+            b.add(t, base + i, self.seq_base, want_logits=(i == len(tokens) - 1))
         handle = self.tgt.decode_async(b, self.topk)
         self.seq0_frontier = max(self.seq0_frontier, base + len(tokens))
         self.runs.append(
@@ -183,7 +191,7 @@ class PipeInferController:
                 assumed_prefix=[],
                 max_decide=base + len(tokens),
                 dft_base=base,
-                seq_offset=0,
+                seq_offset=self.seq_base,
                 speculative=False,
             )
         )
@@ -196,7 +204,7 @@ class PipeInferController:
         sp = self.sp
         offset = self.free_offsets.popleft()
         first = not self.chain_tokens
-        src_seq = 0 if first else self.chain_prev_offset  # branch 0 of prev run
+        src_seq = self.seq_base if first else self.chain_prev_offset  # branch 0 of prev run
 
         root_redecode = self.chain_root_dft_logits is None
         dft_hi = self.spec_base - 1 if root_redecode else self.spec_base
@@ -383,8 +391,8 @@ class PipeInferController:
             dft_lo = run.base - 1 if run.dft_root_redecoded else lo
             branch_seqs = [s + run.seq_offset for s in range(self.sp.n_parallel)]
             win = s_keep + run.seq_offset
-            self.tgt.consolidate(win, branch_seqs, lo, max(hi, lo))
-            self.dft.consolidate(win, branch_seqs, dft_lo, max(hi, dft_lo))
+            self.tgt.consolidate(win, branch_seqs, lo, max(hi, lo), dst=self.seq_base)
+            self.dft.consolidate(win, branch_seqs, dft_lo, max(hi, dft_lo), dst=self.seq_base)
             if hi > lo:
                 self.seq0_frontier = max(self.seq0_frontier, hi)
             self.free_offsets.append(run.seq_offset)
@@ -450,10 +458,22 @@ class PipeInferController:
         stream=None,
     ) -> list[int]:
         """ref: main loop speculative.cpp:316-679."""
-        sp = self.sp
+        self.start_generation(prompt_ids, n_predict, ignore_eos=ignore_eos, stream=stream)
+        while self.runs:
+            self.tick(block=True)
+            if self._stopped_flag:
+                break
+        return self.finish_generation()
+
+    # -- cooperative interface (multi-stream engines drive these directly) --
+
+    def start_generation(self, prompt_ids, n_predict, *, ignore_eos=False, stream=None):
+        """Prefill + state reset; the decode loop is driven by tick()."""
         self.prompt = list(prompt_ids)
         self._ignore_eos = ignore_eos
         self._stopped_flag = False
+        self._n_predict = n_predict
+        self._stream_cb = stream
         for t in prompt_ids:
             self.sampler.accept(t, apply_grammar=False)
 
@@ -462,7 +482,7 @@ class PipeInferController:
         self._launch_nonspec(list(prompt_ids), 0)
         b = Batch()
         for i, t in enumerate(prompt_ids):
-            b.add(t, i, 0, want_logits=(i == len(prompt_ids) - 1))
+            b.add(t, i, self.seq_base, want_logits=(i == len(prompt_ids) - 1))
         self.dft.decode(b)  # draft prefill (cells only)
         self.metrics.t_encode_s = time.perf_counter() - t_enc0
         self.metrics.n_encoded = len(prompt_ids)
@@ -472,19 +492,31 @@ class PipeInferController:
         self.spec_base = self.n_committed
         self._t_start = time.perf_counter()
         self._t_last = self._t_start
+        self._t_dec0 = time.perf_counter()
 
-        t_dec0 = time.perf_counter()
-        while self.runs:
-            # speculate ahead while the pipeline is busy (and keep a minimum
-            # queue depth even when it isn't)
-            self._speculation_pump()
-            # retire the oldest run (blocks if still in flight — the head's
-            # hot wait at llama_finish_async_decode, ref :389)
-            if self._retire_oldest(n_predict, stream):
-                self._stopped_flag = True
-                break
+    @property
+    def done(self) -> bool:
+        return self._stopped_flag or not self.runs
 
-        self.metrics.t_decode_s = time.perf_counter() - t_dec0
+    def tick(self, block: bool = False) -> bool:
+        """One scheduling step: pump speculation, retire the oldest run if
+        ready (or unconditionally when `block`). Returns True if progress
+        was made; cooperative engines interleave ticks across streams."""
+        if self._stopped_flag or not self.runs:
+            return False
+        # speculate ahead while the pipeline is busy (and keep a minimum
+        # queue depth even when it isn't)
+        launched = self._speculation_pump()
+        if not block and not self._oldest_ready():
+            return launched
+        # retire the oldest run (blocks if still in flight — the head's
+        # hot wait at llama_finish_async_decode, ref :389)
+        if self._retire_oldest(self._n_predict, self._stream_cb):
+            self._stopped_flag = True
+        return True
+
+    def finish_generation(self) -> list[int]:
+        self.metrics.t_decode_s = time.perf_counter() - self._t_dec0
         self.metrics.n_decoded = len(self.generated)
         # drain any remaining runs
         while self.runs:
@@ -493,6 +525,7 @@ class PipeInferController:
             if r.speculative:
                 self._discard_cells(r)
                 self.free_offsets.append(r.seq_offset)
+        # free this stream's committed cells (multi-stream reuse)
         return list(self.generated)
 
     def _retire_oldest(self, n_predict: int, stream) -> bool:

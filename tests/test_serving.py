@@ -135,3 +135,77 @@ def test_http_server(model, tmp_path_factory):
     finally:
         httpd.shutdown()
         engine.shutdown()
+
+
+def test_spec_scheduler_matches_sequential(model):
+    """Speculative continuous batching (server --draft): each slot is a
+    full PipeInfer stream; greedy outputs must be exact."""
+    from pipeinfer_tpu.serving.batching import SpecBatchScheduler
+    from pipeinfer_tpu.spec.params import SpecParams
+
+    params, cfg = model
+    prompts = [[5, 9, 23], [7, 100, 42, 8], [11]]
+    want = [_plain(params, cfg, p, 12) for p in prompts]
+
+    ctx = InferenceContext(params, cfg, n_cells=512, cache_dtype=jnp.float32)
+    ctx_d = InferenceContext(params, cfg, n_cells=512, cache_dtype=jnp.float32)
+    sched = SpecBatchScheduler(
+        ctx, ctx_d,
+        spec_params=SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=2),
+        max_slots=4, eos_id=-1,
+    )
+    reqs = [
+        sched.submit(Request(prompt_ids=p, n_predict=12, sampling=SamplingParams(temp=0.0)))
+        for p in prompts
+    ]
+    sched.run_until_idle()
+    for r, w in zip(reqs, want):
+        assert r.done
+        assert r.generated == w
+
+
+def test_http_server_speculative(model, tmp_path_factory):
+    """End-to-end: pipeinfer-server --draft serves concurrent speculative
+    requests over HTTP."""
+    d = tmp_path_factory.mktemp("srv3")
+    path = d / "m.gguf"
+    testmodel.build_tiny_llama(
+        path, seed=11, vocab_from="/root/reference/models/ggml-vocab-llama.gguf",
+        n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2, n_ff=128,
+    )
+    from pipeinfer_tpu.serving.server import serve
+    from pipeinfer_tpu.spec.params import SpecParams
+
+    httpd, engine = serve(
+        str(path), "127.0.0.1", 0, n_cells=512, max_slots=4,
+        draft_path=str(path),
+        spec_params=SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=2),
+    )
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        # two concurrent requests through the speculative engine
+        results = {}
+
+        def post(key, prompt):
+            body = json.dumps({"prompt": prompt, "n_predict": 6, "temperature": 0}).encode()
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/completion", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                results[key] = json.load(r)
+
+        th = [threading.Thread(target=post, args=(k, p))
+              for k, p in [("a", "Hello"), ("b", "The quick")]]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        for k in ("a", "b"):
+            assert results[k]["tokens_predicted"] >= 1
+            assert isinstance(results[k]["content"], str)
+    finally:
+        httpd.shutdown()
+        engine.shutdown()
