@@ -37,11 +37,15 @@ def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16", need
 
 
 def generate(ctx, tok, sampler: SamplerState, prompt_ids, n_predict, *,
-             ignore_eos=False, stream=None, cached_prefix=0):
+             ignore_eos=False, stream=None, cached_prefix=0, n_keep=-1):
     """Greedy/sampled generation on sequence 0. Returns token ids.
 
     cached_prefix > 0 skips prefilling that many prompt tokens (their cells
-    were restored from a session file)."""
+    were restored from a session file). When the cell array fills, the
+    context SLIDES: the first n_keep positions stay, half of the rest is
+    discarded and the tail shifts down with K re-rotation (ref: main.cpp
+    context swapping n_keep/n_discard + llama_kv_cache_seq_shift; infinite
+    generation via --keep)."""
     batch = Batch()
     start = min(cached_prefix, len(prompt_ids) - 1)  # always decode the last
     for i in range(start, len(prompt_ids)):
@@ -56,6 +60,14 @@ def generate(ctx, tok, sampler: SamplerState, prompt_ids, n_predict, *,
             stream(token)
         if not ignore_eos and token == tok.vocab.eos_id:
             break
+        if ctx.n_free_cells < 1:
+            # context full: slide the window (ref: main.cpp "context
+            # swapping" — keep n_keep, discard half of the rest)
+            keep = len(prompt_ids) if n_keep < 0 else min(n_keep, n_past - 2)
+            n_discard = max(1, (n_past - keep) // 2)
+            ctx.seq_rm(0, keep, keep + n_discard)
+            ctx.seq_shift(0, keep + n_discard, n_past, -n_discard)
+            n_past -= n_discard
         batch.clear()
         batch.add(token, n_past, 0)
         logits = ctx.decode(batch)[0]
@@ -86,6 +98,12 @@ def main(argv=None):
         help="session file: reuse/extend a cached prompt prefill "
         "(ref: main --prompt-cache + llama session files)",
     )
+    p.add_argument("--keep", type=int, default=-1,
+                   help="tokens to keep when the context window slides "
+                   "(-1 = whole prompt; ref: main --keep)")
+    p.add_argument("--logdir", default="",
+                   help="write a YAML run dump to this directory "
+                   "(ref: main --logdir dump_non_result_info_yaml)")
     args = p.parse_args(argv)
 
     ctx, tok = build_context(args.model, args.ctx_size, args.cache_dtype)
@@ -145,6 +163,7 @@ def main(argv=None):
     out = generate(
         ctx, tok, sampler, ids, args.n_predict,
         ignore_eos=args.ignore_eos, stream=stream, cached_prefix=cached_prefix,
+        n_keep=args.keep,
     )
     if args.prompt_cache:
         from ..runtime import state as rstate
@@ -152,6 +171,12 @@ def main(argv=None):
         rstate.save_state(ctx, args.prompt_cache, tokens=ids + out)
     sys.stdout.write("\n")
     ctx.print_timings(lambda s: print(s, file=sys.stderr))
+    if args.logdir:
+        from ..utils.rundump import dump_run_yaml
+
+        path = dump_run_yaml(args.logdir, args=vars(args), prompt_ids=ids,
+                             output_ids=out, output_text=tok.decode(out), ctx=ctx)
+        print(f"run dump: {path}", file=sys.stderr)
     return 0
 
 
