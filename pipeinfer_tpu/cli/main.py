@@ -18,8 +18,13 @@ from ..tokenizer import tokenizer_from_gguf
 from .args import add_gen_args, add_model_args, add_sampling_args, read_prompt, sampling_from_args
 
 
-def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16", need_tokenizer=True):
+def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16",
+                  need_tokenizer=True, lora: list[tuple[str, float]] | None = None):
     params, cfg = load_model(model_path)
+    for adapter_path, scale in lora or []:
+        from ..tools.lora import apply_lora
+
+        params = apply_lora(params, adapter_path, scale)
     tok = None
     with GGUFReader(model_path) as r:
         try:
@@ -98,6 +103,10 @@ def main(argv=None):
         help="session file: reuse/extend a cached prompt prefill "
         "(ref: main --prompt-cache + llama session files)",
     )
+    p.add_argument("--lora", action="append", default=[], metavar="GGUF",
+                   help="apply a LoRA adapter at load (ref: --lora; repeatable)")
+    p.add_argument("--lora-scaled", action="append", default=[], nargs=2,
+                   metavar=("GGUF", "S"), help="LoRA adapter with scale S")
     p.add_argument("--keep", type=int, default=-1,
                    help="tokens to keep when the context window slides "
                    "(-1 = whole prompt; ref: main --keep)")
@@ -106,7 +115,8 @@ def main(argv=None):
                    "(ref: main --logdir dump_non_result_info_yaml)")
     args = p.parse_args(argv)
 
-    ctx, tok = build_context(args.model, args.ctx_size, args.cache_dtype)
+    lora = [(f, 1.0) for f in args.lora] + [(f, float(s)) for f, s in args.lora_scaled]
+    ctx, tok = build_context(args.model, args.ctx_size, args.cache_dtype, lora=lora)
     sp = sampling_from_args(args)
     sampler = SamplerState(params=sp)
     if args.grammar or args.grammar_file:

@@ -273,6 +273,14 @@ class InferenceContext:
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
         self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
 
+    def rm_tail(self, p0: int):
+        """Free every cell at pos >= p0 on ALL sequences (the reference's
+        seq_rm(-1, p0, -1))."""
+        self.cache = _jit_rm_tail(self.cache, p0)
+        hit = self.h_pos >= p0
+        self.h_seq[hit] = 0
+        self.h_pos[hit] = -1
+
     def seq_keep(self, seq_id: int):
         self.cache = _jit_seq_keep(self.cache, seq_id)
         keep = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
@@ -375,6 +383,11 @@ def _jit_seq_cp(cache, src, dst, p0, p1):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _jit_seq_keep(cache, seq_id):
     return kv.seq_keep(cache, seq_id)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _jit_rm_tail(cache, p0):
+    return kv.rm_tail(cache, p0)
 
 
 @functools.lru_cache(maxsize=None)

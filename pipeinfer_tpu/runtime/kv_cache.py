@@ -155,6 +155,17 @@ def seq_cp(cache: KVCache, src, dst, p0, p1) -> KVCache:
     return dataclasses.replace(cache, seq=cache.seq.at[:, w].set(new_word))
 
 
+def rm_tail(cache: KVCache, p0) -> KVCache:
+    """Free every cell at pos >= p0 regardless of sequence membership
+    (ref: llama_kv_cache_seq_rm with seq_id == -1 — the lookahead driver's
+    per-step scratch cleanup, examples/lookahead/lookahead.cpp:443)."""
+    p0 = jnp.asarray(p0, jnp.int32)
+    hit = cache.pos >= p0
+    new_seq = jnp.where(hit[:, None], jnp.uint32(0), cache.seq)
+    new_pos = jnp.where(hit, -1, cache.pos)
+    return dataclasses.replace(cache, seq=new_seq, pos=new_pos)
+
+
 def seq_keep(cache: KVCache, seq_id) -> KVCache:
     """Drop every sequence except seq_id; surviving cells belong only to it
     (ref: llama_kv_cache_seq_keep, llama.cpp:9290-9307)."""

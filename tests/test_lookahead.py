@@ -1,0 +1,87 @@
+"""Lookahead decoding: golden-token equivalence with plain decoding (the
+reference validates examples/lookahead only by running it; we require
+exactness — every accepted token is sampled from true target logits) and
+n-gram-pool acceptance on self-repeating text."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pipeinfer_tpu.models import load_model
+from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+from pipeinfer_tpu.sampling.samplers import SamplerState, SamplingParams, sample
+from pipeinfer_tpu.spec.lookahead import LookaheadDecoder
+from pipeinfer_tpu.tools import testmodel
+
+from .test_sync_spec import CFG, N_PREDICT, PROMPT
+
+
+@pytest.fixture(scope="module")
+def target(tmp_path_factory):
+    path = tmp_path_factory.mktemp("la") / "m.gguf"
+    testmodel.build_tiny_llama(path, seed=7, **CFG)
+    return load_model(path)
+
+
+def _plain(params, cfg, prompt, n, sp_params):
+    ctx = InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+    st = SamplerState(params=sp_params)
+    b = Batch()
+    for i, t in enumerate(prompt):
+        st.accept(t, apply_grammar=False)
+        b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+    logits = ctx.decode(b)[-1]
+    out, pos = [], len(prompt)
+    for _ in range(n):
+        tok = sample(st, logits)
+        st.accept(tok)
+        out.append(tok)
+        b.clear()
+        b.add(tok, pos, 0)
+        logits = ctx.decode(b)[0]
+        pos += 1
+    return out
+
+
+def test_lookahead_greedy_exact(target):
+    params, cfg = target
+    sp = SamplingParams(temp=0.0)
+    want = _plain(params, cfg, list(PROMPT), N_PREDICT, sp)
+    ctx = InferenceContext(params, cfg, n_cells=512, cache_dtype=jnp.float32)
+    eng = LookaheadDecoder(ctx, sp, W=4, N=3, G=4, eos_id=-1)
+    got = eng.generate(list(PROMPT), N_PREDICT)
+    assert got == want, f"lookahead diverges: {got} vs {want}"
+    assert eng.stats.n_predict == N_PREDICT
+
+
+def test_lookahead_bigger_window_exact(target):
+    params, cfg = target
+    sp = SamplingParams(temp=0.0)
+    want = _plain(params, cfg, list(PROMPT), N_PREDICT, sp)
+    ctx = InferenceContext(params, cfg, n_cells=1024, cache_dtype=jnp.float32)
+    eng = LookaheadDecoder(ctx, sp, W=8, N=4, G=8, eos_id=-1)
+    got = eng.generate(list(PROMPT), N_PREDICT)
+    assert got == want
+
+
+def test_lookahead_accepts_on_repetitive_text(target):
+    """A prompt whose continuation loops should populate the n-gram pool
+    and produce accepted tokens (speedup mechanism actually engages)."""
+    params, cfg = target
+    sp = SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0)
+    ctx = InferenceContext(params, cfg, n_cells=2048, cache_dtype=jnp.float32)
+    eng = LookaheadDecoder(ctx, sp, W=6, N=4, G=8, eos_id=-1)
+    # a cyclic prompt makes greedy continuations loop on tiny random models
+    prompt = [3, 17, 42, 3, 17, 42, 3, 17, 42]
+    got = eng.generate(prompt, 48)
+    want = _plain(params, cfg, prompt, 48, sp)
+    assert got == want
+    assert eng.stats.n_accept > 0, "n-gram verification never accepted"
+
+
+def test_lookahead_seq_budget_guard(target):
+    params, cfg = target
+    ctx = InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+    with pytest.raises(ValueError):
+        LookaheadDecoder(ctx, SamplingParams(temp=0.0), W=40, N=5, G=40, eos_id=-1)
