@@ -53,10 +53,12 @@ def forward(
     valid: jax.Array,  # bool [T] false for padding
     seq_bits: jax.Array | None = None,  # uint32 [T, SW] multi-seq membership
     output_hidden: bool = False,  # return normed hidden states, not logits
+    embd: jax.Array | None = None,  # f32 [T, E]: direct embedding input
+    # (the llama_batch.embd path, ref llama.h — multimodal image tokens)
 ) -> tuple[jax.Array, kv.KVCache]:
     """One decode/prefill step. Returns (logits [T, n_vocab] f32, cache')."""
     t = tokens.shape[0]
-    h = embed(tokens, params["tok_embd"])  # [T, E] f32
+    h = embed(tokens, params["tok_embd"]) if embd is None else embd.astype(jnp.float32)
 
     # claim cells + mask once for all layers
     cache = kv.write_meta(cache, cell_idx, pos, seq, valid, seq_bits)

@@ -253,6 +253,31 @@ class InferenceContext:
 
         return AsyncHandle(logits=out, fetch=fetch, cells=cells)
 
+    # -- embedding input (the llama_batch.embd path: multimodal tokens) ----
+
+    def decode_embd(self, embd: np.ndarray, pos0: int, seq_id: int = 0):
+        """Feed pre-computed embeddings [T, E] at positions pos0..pos0+T-1
+        (ref: llava_eval_image_embed llava.cpp:70-90 — image patches enter
+        the pipeline as embeddings, no token ids). Fills KV cells; returns
+        the final row's logits (np [n_vocab])."""
+        t = embd.shape[0]
+        t_pad = _bucket(t)
+        cells = self.find_cells(t)
+        x = np.zeros((t_pad, embd.shape[1]), np.float32)
+        x[:t] = embd
+        pos = np.zeros(t_pad, np.int32)
+        pos[:t] = pos0 + np.arange(t)
+        seq = np.full(t_pad, seq_id, np.int32)
+        cell_idx = np.full(t_pad, self.trash_cell, np.int32)
+        cell_idx[:t] = cells
+        valid = np.zeros(t_pad, bool)
+        valid[:t] = True
+        self.h_pos[cells] = pos[:t]
+        self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
+        step = _shared_step_embd(self._forward, self.cfg)
+        out, self.cache = step(self.params, self.cache, x, pos, seq, cell_idx, valid)
+        return np.asarray(out)[t - 1]
+
     # -- seq ops (device + host mirror) ------------------------------------
     # Each is the counterpart of a pipelined KV transaction in the reference
     # (llama.cpp:9238-9359); here both copies update synchronously and the
@@ -388,6 +413,17 @@ def _jit_seq_keep(cache, seq_id):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _jit_rm_tail(cache, p0):
     return kv.rm_tail(cache, p0)
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_step_embd(forward, cfg):
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def step(params, cache, embd, pos, seq, cell_idx, valid):
+        tokens = jnp.zeros(embd.shape[0], jnp.int32)
+        return forward(params, cfg, cache, tokens, pos, seq, cell_idx, valid,
+                       embd=embd)
+
+    return step
 
 
 @functools.lru_cache(maxsize=None)
