@@ -113,6 +113,10 @@ def main(argv=None):
     p.add_argument("--logdir", default="",
                    help="write a YAML run dump to this directory "
                    "(ref: main --logdir dump_non_result_info_yaml)")
+    p.add_argument("--profile", default="", metavar="DIR",
+                   help="capture an XLA op-level trace of the run to DIR, "
+                   "viewable in TensorBoard/Perfetto (the GGML_PERF "
+                   "counterpart, ref: llama.cpp:5720-5724)")
     args = p.parse_args(argv)
 
     lora = [(f, 1.0) for f in args.lora] + [(f, float(s)) for f, s in args.lora_scaled]
@@ -170,11 +174,21 @@ def main(argv=None):
             except ValueError as e:
                 print(f"prompt-cache ignored: {e}", file=sys.stderr)
 
-    out = generate(
-        ctx, tok, sampler, ids, args.n_predict,
-        ignore_eos=args.ignore_eos, stream=stream, cached_prefix=cached_prefix,
-        n_keep=args.keep,
-    )
+    import contextlib
+
+    prof = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        prof = jax.profiler.trace(args.profile)
+    with prof:
+        out = generate(
+            ctx, tok, sampler, ids, args.n_predict,
+            ignore_eos=args.ignore_eos, stream=stream, cached_prefix=cached_prefix,
+            n_keep=args.keep,
+        )
+    if args.profile:
+        print(f"profile trace -> {args.profile}", file=sys.stderr)
     if args.prompt_cache:
         from ..runtime import state as rstate
 
