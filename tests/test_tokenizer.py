@@ -105,3 +105,36 @@ def test_bpe_round_trip(bpe):
     for text in BPE_TEXTS:
         ids = bpe.encode(text, add_bos=False)
         assert bpe.decode(ids) == text
+
+
+# full fixture matrix, mirroring the reference's tokenizer test list
+# (tests/CMakeLists.txt:25-40: llama, falcon, aquila, mpt, stablelm,
+# gpt-neox, refact, starcoder, baichuan — aquila's fixture is not shipped)
+MATRIX = [
+    ("ggml-vocab-gpt-neox.gguf", False),
+    ("ggml-vocab-mpt.gguf", False),
+    ("ggml-vocab-refact.gguf", False),
+    ("ggml-vocab-starcoder.gguf", False),
+    ("ggml-vocab-stablelm-3b-4e1t.gguf", False),
+    ("ggml-vocab-baichuan.gguf", True),  # SPM family
+]
+
+
+@pytest.mark.parametrize("fixture,add_bos", MATRIX)
+def test_tokenizer_matrix_parity(fixture, add_bos):
+    path = Path("/root/reference/models") / fixture
+    if not path.exists():
+        pytest.skip("fixture unavailable")
+    with GGUFReader(path) as r:
+        tok = tokenizer_from_gguf(r)
+    texts = BPE_TEXTS
+    want = oracle.ref_tokenize(str(path), texts, add_bos=add_bos)
+    if want is None:
+        pytest.skip("tokenizer oracle unavailable")
+    for text, expected in zip(texts, want):
+        # the oracle tokenizes with specials OFF (test-tokenizer-0 calls
+        # llama_tokenize without special parsing); gpt-neox/mpt/stablelm
+        # type their added whitespace-run tokens CONTROL, which our
+        # special cache would otherwise match
+        got = tok.encode(text, add_bos=add_bos, special=False)
+        assert got == expected, f"{fixture}: mismatch for {text!r}: got {got}, want {expected}"
