@@ -1,0 +1,174 @@
+"""Multi-host (DCN) path: two real OS processes join a jax.distributed
+coordinator, build one global mesh over their CPU devices, and run a
+sharded computation — the launch topology the reference gets from mpirun
+(which it never tests; SURVEY §4 flags the gap)."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+
+    from pipeinfer_tpu.parallel.multihost import init_distributed, global_mesh, replicate_to_mesh
+    init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = global_mesh(pp=2, tp=2, dp=2)
+    assert mesh.devices.shape == (2, 2, 2)
+
+    # replicated weights x sharded activations: psum over the model axis
+    # crosses the host boundary exactly like a TP collective over DCN
+    w = replicate_to_mesh(np.arange(16, dtype=np.float32).reshape(4, 4), mesh)
+    x = jax.device_put(
+        np.ones((8, 4), np.float32), NamedSharding(mesh, P("data", "model"))
+    )
+
+    @jax.jit
+    def step(w, x):
+        return jnp.sum(x @ w.T)
+
+    out = float(step(w, x))
+    # every process computes the same global result
+    print(f"RESULT {pid} {out}", flush=True)
+    """
+)
+
+
+@pytest.mark.skipif(os.environ.get("CI_NO_SUBPROC"), reason="subprocess test")
+def test_two_process_global_mesh(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, val = line.split()
+                results[int(pid)] = float(val)
+    assert set(results) == {0, 1}, f"missing results: {outs}"
+    # x=ones [8,4] @ w.T summed: sum over all rows of sum(w) = 8 * 120
+    assert results[0] == results[1] == 8 * np.sum(np.arange(16))
+
+
+import numpy as np
+
+
+WORKER_PIPE = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]; model_path = sys.argv[3]
+
+    from pipeinfer_tpu.parallel.multihost import init_distributed, global_mesh
+    init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+
+    import numpy as np
+    import jax.numpy as jnp
+    from pipeinfer_tpu.models import load_model
+    from pipeinfer_tpu.parallel import pipefused as pf
+
+    params, cfg = load_model(model_path)  # every host mmaps the same GGUF
+    pc = pf.PipeConfig(n_stages=2, tp=2, dp=2)
+    mesh = global_mesh(pp=2, tp=2, dp=2)
+    stacked = pf.stack_params(params, cfg, pc, mesh)
+    cache = pf.init_cache(cfg, pc, mesh, batch=2, max_len=16)
+    step = pf.build_step(cfg, pc, mesh)
+
+    tokens = [3, 9, 21, 40]
+    tok_arr = jnp.tile(jnp.asarray(tokens, jnp.int32)[None, :], (2, 1))
+    logits, cache = step(stacked, cache, tok_arr,
+                         jnp.arange(4, dtype=jnp.int32), 0)
+    chk = float(jax.jit(lambda l: jnp.sum(jnp.abs(l)))(logits))
+    print(f"RESULT {pid} {chk:.3f}", flush=True)
+    """
+)
+
+
+def test_two_process_pipefused_step(tmp_path):
+    """The fused pp(2)x tp(2) x dp(2) pipeline step runs over a TWO-PROCESS
+    global mesh (stage axis crossing the host boundary) and both processes
+    agree with the single-process result."""
+    import socket
+
+    from pipeinfer_tpu.tools import testmodel
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    model = tmp_path / "m.gguf"
+    testmodel.build_tiny_llama(model, seed=5, n_layers=4, n_embd=64, n_heads=4,
+                               n_kv_heads=2, n_ff=128, n_vocab=96)
+
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER_PIPE)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port), str(model)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, val = line.split()
+                results[int(pid)] = float(val)
+    assert set(results) == {0, 1}
+
+    # single-process ground truth on the virtual 8-device mesh
+    import jax
+    import jax.numpy as jnp
+
+    from pipeinfer_tpu.models import load_model
+    from pipeinfer_tpu.parallel import pipefused as pf
+
+    params, cfg = load_model(model)
+    pc = pf.PipeConfig(n_stages=2, tp=2, dp=2)
+    mesh = pf.make_mesh(pc)
+    stacked = pf.stack_params(params, cfg, pc, mesh)
+    cache = pf.init_cache(cfg, pc, mesh, batch=2, max_len=16)
+    step = pf.build_step(cfg, pc, mesh)
+    tok_arr = jnp.tile(jnp.asarray([3, 9, 21, 40], jnp.int32)[None, :], (2, 1))
+    logits, _ = step(stacked, cache, tok_arr, jnp.arange(4, dtype=jnp.int32), 0)
+    want = float(jnp.sum(jnp.abs(logits)))
+    for pid in (0, 1):
+        assert abs(results[pid] - want) / (abs(want) + 1e-6) < 2e-3, (results, want)
