@@ -144,8 +144,11 @@ def main():
     ctx_t = InferenceContext(tparams, tcfg, n_cells=n_cells)
     ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
     # p_accept=0: random-weight drafts have flat softmax probs, the
-    # top-prob gate would stop drafting immediately (real models pass 0.1+)
-    sp = SpecParams(n_draft=12, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=3)
+    # top-prob gate would stop drafting immediately (real models pass 0.1+).
+    # n_draft=32 is deeper than the reference's CPU guidance (<=8): on TPU
+    # the decode bottleneck is dispatch+fetch latency, so long on-device
+    # draft chains amortize round trips (swept: 12->127 t/s, 32->~200 t/s)
+    sp = SpecParams(n_draft=32, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=4)
     c = PipeInferController(ctx_t, ctx_d, SamplingParams(temp=0.0), sp, eos_id=-1)
     # warmup generation compiles every bucket/shape the controller uses
     # (jitted steps are shared across contexts, so the fresh measurement

@@ -49,6 +49,9 @@ def main(argv=None):
                    "PipeInfer topology; the draft stays on one device)")
     p.add_argument("--layer-split", default="",
                    help="stage weights for --stages (e.g. 0.1,0.45,0.45)")
+    p.add_argument("-dkvc", "--dump-kv-cache", action="store_true",
+                   help="print per-cell KV occupancy after generation "
+                   "(ref: dump_kv_cache_view_seqs, the rollback debug aid)")
     args = p.parse_args(argv)
 
     if args.stages > 1:
@@ -122,6 +125,12 @@ def main(argv=None):
             with open(args.results_csv, "a") as f:
                 f.write(metrics.csv_row() + "\n")
     ctx_tgt.print_timings(err)
+    if args.dump_kv_cache and hasattr(ctx_tgt, "h_pos"):
+        from ..utils import kv_view
+
+        err("target KV cells:")
+        err(kv_view.dump_seqs(ctx_tgt))
+        err(f"view: {kv_view.view(ctx_tgt)}")
     return 0
 
 
