@@ -7,6 +7,7 @@ combined with the PipeInfer pipeline — a pairing the reference never ships).""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pipeinfer_tpu.models import load_model
@@ -117,3 +118,24 @@ def test_multi_stochastic_streams_independent(target):
     eng.run_until_idle()
     for r, w in zip(reqs, want):
         assert r.tokens == w, f"stream {r.id} diverges: {r.tokens} vs {w}"
+
+
+def test_multi_streams_over_staged_target(target):
+    """Composition: concurrent speculative streams over a PIPELINED target
+    (multi-stage host-driven contexts) — stages x streams x speculation all
+    at once, still token-exact."""
+    from pipeinfer_tpu.parallel.stages import StagedInferenceContext
+
+    params, cfg = target
+    want = [_plain_decode(params, cfg, p, N_PREDICT, SamplingParams(temp=0.0))
+            for p in PROMPTS[:2]]
+
+    ctx_t = StagedInferenceContext(params, cfg, n_cells=512,
+                                   devices=[jax.devices("cpu")[0]] * 2)
+    ctx_d = InferenceContext(params, cfg, n_cells=512, cache_dtype=jnp.float32)
+    sp = SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=2)
+    eng = MultiPipeInfer(ctx_t, ctx_d, SamplingParams(temp=0.0), sp, eos_id=-1)
+    reqs = [eng.submit(p, N_PREDICT) for p in PROMPTS[:2]]
+    eng.run_until_idle()
+    for r, w in zip(reqs, want):
+        assert r.done and r.tokens == w, f"staged stream {r.id}: {r.tokens} vs {w}"
