@@ -28,6 +28,11 @@ class Request:
     sampling: SamplingParams
     stream: Optional[Callable[[int], None]] = None
     ignore_eos: bool = False
+    # multimodal prompts: ordered segments of ("tok", [ids]) and
+    # ("img", embd [T, n_embd]) — the reference server's slot_image +
+    # prefix_prompt structure (ref: server.cpp:196-206). When set,
+    # prompt_ids is ignored and the whole prefill happens at admission.
+    segments: list | None = None
 
     # runtime state (slot fields, ref server.cpp slot struct)
     rid: int = -1
@@ -79,10 +84,48 @@ class BatchScheduler:
                 req = self.queue.pop(0)
                 req.seq = i
                 req.sampler = SamplerState(params=req.sampling)
-                for t in req.prompt_ids:
-                    req.sampler.accept(t, apply_grammar=False)
                 self.ctx.seq_rm(i, 0, -1)
                 self.slots[i] = req
+                if req.segments is not None:
+                    self._prefill_segments(req)
+                else:
+                    for t in req.prompt_ids:
+                        req.sampler.accept(t, apply_grammar=False)
+
+    def _prefill_segments(self, req: Request):
+        """Multimodal prefill: token segments via decode, image segments
+        via the embedding input path, all at admission (the reference
+        server likewise evaluates a slot's images before joining the
+        batch loop, server.cpp:1316-1360)."""
+        if not req.segments or req.segments[-1][0] != "tok":
+            raise ValueError("prompt must end with text after the last image")
+        pos = 0
+        logits = None
+        last = len(req.segments) - 1
+        for si, (kind, payload) in enumerate(req.segments):
+            if kind == "tok":
+                b = Batch()
+                for j, t in enumerate(payload):
+                    req.sampler.accept(t, apply_grammar=False)
+                    b.add(t, pos + j, req.seq,
+                          want_logits=(si == last and j == len(payload) - 1))
+                out = self.ctx.decode(b, self.topk)
+                logits = out[-1]
+                pos += len(payload)
+            else:  # "img": [T, n_embd] embeddings
+                self.ctx.decode_embd(payload, pos, req.seq)
+                pos += payload.shape[0]
+        req.n_past = pos
+        req.n_prompt_fed = len(req.prompt_ids)  # nothing left to feed
+        # sample the first token now so step() continues from generated[-1]
+        tok = sample(req.sampler, logits)
+        req.sampler.accept(tok)
+        req.generated.append(tok)
+        if req.stream:
+            req.stream(tok)
+        hit_eos = (not req.ignore_eos) and tok == self.eos_id
+        if hit_eos or len(req.generated) >= req.n_predict:
+            self._finish(req)
 
     def step(self) -> int:
         """One engine iteration. Returns number of tokens decoded."""

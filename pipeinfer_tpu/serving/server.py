@@ -21,9 +21,10 @@ from ..cli.main import build_context
 
 
 class EngineState:
-    def __init__(self, scheduler: BatchScheduler, tok):
+    def __init__(self, scheduler: BatchScheduler, tok, clip=None):
         self.scheduler = scheduler
         self.tok = tok
+        self.clip = clip  # (params, ClipConfig) when serving multimodal
         self.stop = threading.Event()
         self.thread = threading.Thread(target=scheduler.serve_forever, args=(self.stop,), daemon=True)
 
@@ -92,6 +93,44 @@ def make_handler(engine: EngineState):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _segments_from_images(self, prompt: str, image_data: list):
+            """Split the prompt on [img-ID] placeholders and CLIP-encode
+            each image (ref: server.cpp slot_image handling + the
+            image_data request field)."""
+            import base64
+            import io
+            import re
+
+            import numpy as np
+            from PIL import Image
+
+            from ..models import clip as clip_mod
+
+            cparams, ccfg = engine.clip
+            embeds = {}
+            for item in image_data:
+                img = Image.open(io.BytesIO(base64.b64decode(item["data"])))
+                pixels = clip_mod.preprocess_image(img, ccfg)
+                embeds[int(item.get("id", 0))] = clip_mod.encode_image(
+                    cparams, ccfg, pixels
+                )
+            segments = []
+            pos = 0
+            first = True
+            for m in re.finditer(r"\[img-(\d+)\]", prompt):
+                txt = prompt[pos : m.start()]
+                if txt or first:
+                    segments.append(("tok", tok.encode(txt, add_bos=first)))
+                    first = False
+                img_id = int(m.group(1))
+                if img_id not in embeds:
+                    raise ValueError(f"no image_data with id {img_id}")
+                segments.append(("img", embeds[img_id]))
+                pos = m.end()
+            tail = prompt[pos:]
+            segments.append(("tok", tok.encode(tail, add_bos=first)))
+            return segments
+
         def _completion(self, body: dict, openai: bool):
             prompt = body.get("prompt", "")
             if not isinstance(prompt, str):
@@ -99,6 +138,16 @@ def make_handler(engine: EngineState):
                 return
             n_predict = int(body.get("n_predict", body.get("max_tokens", 64)))
             stream = bool(body.get("stream", False))
+            segments = None
+            if body.get("image_data"):
+                if engine.clip is None:
+                    self._json(400, {"error": "server started without --mmproj"})
+                    return
+                try:
+                    segments = self._segments_from_images(prompt, body["image_data"])
+                except (ValueError, KeyError, OSError) as e:
+                    self._json(400, {"error": f"bad image_data: {e}"})
+                    return
             ids = tok.encode(prompt, add_bos=True)
 
             if stream:
@@ -112,6 +161,7 @@ def make_handler(engine: EngineState):
                     n_predict=n_predict,
                     sampling=_sampling_from_body(body),
                     stream=q.put,
+                    segments=segments,
                 )
                 engine.scheduler.submit(req)
                 sent = 0
@@ -132,7 +182,8 @@ def make_handler(engine: EngineState):
                 )
                 return
 
-            req = Request(prompt_ids=ids, n_predict=n_predict, sampling=_sampling_from_body(body))
+            req = Request(prompt_ids=ids, n_predict=n_predict,
+                          sampling=_sampling_from_body(body), segments=segments)
             engine.scheduler.submit(req)
             req.done_event.wait()
             text = tok.decode(req.generated)
@@ -170,8 +221,21 @@ def serve(
     max_slots=8,
     draft_path: str | None = None,
     spec_params=None,
+    mmproj_path: str | None = None,
 ):
     ctx, tok = build_context(model_path, n_cells)
+    clip = None
+    if mmproj_path:
+        from ..models import clip as clip_mod
+
+        clip = clip_mod.load_mmproj(mmproj_path)
+        if clip[0]["mm2_w"].shape[0] != ctx.cfg.n_embd:
+            raise SystemExit(
+                f"error: projector width {clip[0]['mm2_w'].shape[0]} != model "
+                f"embedding {ctx.cfg.n_embd} — wrong --mmproj for this model?"
+            )
+        if draft_path:
+            raise SystemExit("error: --mmproj and --draft cannot be combined yet")
     if draft_path:
         from .batching import SpecBatchScheduler
 
@@ -182,7 +246,7 @@ def serve(
         )
     else:
         sched = BatchScheduler(ctx, max_slots=max_slots, eos_id=tok.vocab.eos_id)
-    engine = EngineState(sched, tok)
+    engine = EngineState(sched, tok, clip=clip)
     engine.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(engine))
     return httpd, engine
@@ -194,6 +258,9 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--mmproj", default=None, metavar="GGUF",
+                   help="CLIP+projector GGUF: accept image_data in requests "
+                   "(LLaVA serving, [img-N] prompt placeholders)")
     p.add_argument("--draft", default=None, metavar="GGUF",
                    help="draft model: serve with asynchronous speculation "
                    "(each slot becomes a PipeInfer stream)")
@@ -208,7 +275,8 @@ def main(argv=None):
         spec = SpecParams(n_draft=args.n_draft, n_parallel=1, p_accept=0.0,
                           max_inflight=args.max_inflight)
     httpd, engine = serve(args.model, args.host, args.port, n_cells=args.ctx_size,
-                          max_slots=args.slots, draft_path=args.draft, spec_params=spec)
+                          max_slots=args.slots, draft_path=args.draft, spec_params=spec,
+                          mmproj_path=args.mmproj)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:
         httpd.serve_forever()

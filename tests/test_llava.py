@@ -157,3 +157,70 @@ def test_llava_image_conditions_generation(mmproj, tmp_path):
     a1, a2, c = run(1), run(1), run(99)
     assert a1 == a2, "same image must give identical greedy output"
     assert a1 != c, "different images should condition generation differently"
+
+
+def test_llava_server_image_requests(mmproj, tmp_path):
+    """Multimodal serving: /completion with base64 image_data + [img-0]
+    placeholder (ref: server.cpp slot_image); deterministic per image,
+    different across images, clean 400 without --mmproj."""
+    import base64
+    import io
+    import json
+    import threading
+    import urllib.request
+
+    from PIL import Image
+
+    from pipeinfer_tpu.serving.server import serve
+
+    path, _ = mmproj
+    mpath = tmp_path / "m.gguf"
+    testmodel.build_tiny_llama(
+        mpath, seed=2, vocab_from="/root/reference/models/ggml-vocab-llama.gguf",
+        n_layers=2, n_embd=N_EMBD_LM, n_heads=4, n_kv_heads=2, n_ff=128,
+    )
+    httpd, engine = serve(str(mpath), "127.0.0.1", 0, n_cells=512, max_slots=2,
+                          mmproj_path=str(path))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+
+    def b64_img(color):
+        img = Image.new("RGB", (32, 32), color)
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def post(body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/completion", data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.load(r)
+
+    try:
+        body = {"prompt": "USER:[img-0]\ndescribe\nASSISTANT:", "n_predict": 6,
+                "temperature": 0,
+                "image_data": [{"data": b64_img((250, 10, 10)), "id": 0}]}
+        r1 = post(body)
+        r2 = post(body)
+        assert r1["tokens_predicted"] >= 1
+        assert r1["content"] == r2["content"], "same image must be deterministic"
+
+        body["image_data"] = [{"data": b64_img((10, 10, 250)), "id": 0}]
+        r3 = post(body)
+        assert r3["content"] != r1["content"], "image did not condition output"
+
+        # missing id referenced in prompt
+        bad = dict(body, prompt="[img-7]x", n_predict=2)
+        import urllib.error
+
+        try:
+            post(bad)
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        httpd.shutdown()
+        engine.shutdown()
