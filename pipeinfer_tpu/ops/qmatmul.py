@@ -215,35 +215,42 @@ def _expand_groups_mxu(s: jax.Array, group: int, tk: int) -> jax.Array:
     return jax.lax.dot(expand, s, preferred_element_type=jnp.float32)
 
 
-def _unpack_tile_T(bits: int, qs_ref, qh_ref):
-    """Unpack a K-major (tk, TN) tile of integer quants from packed planes.
+def _unpack_tile_T(bits: int, qs, qh):
+    """Unpack a K-major (tk, TN) tile of integer quants from packed planes
+    (arrays, already loaded to VMEM registers).
 
     The k-tile covers exactly one PACK_GROUP (=256 rows of W^T), so the
     split-packed planes line up: nibble row j holds elems j and j+128."""
     if bits == 8:
-        return qs_ref[...].astype(jnp.float32)
+        return qs.astype(jnp.float32)
     if bits in (4, 5, 6):
-        b = qs_ref[...].astype(jnp.int32)  # (128, TN)
+        b = qs.astype(jnp.int32)  # (128, TN)
         q = jnp.concatenate([b & 0xF, b >> 4], axis=0)
     else:
-        b = qs_ref[...].astype(jnp.int32)  # (64, TN)
+        b = qs.astype(jnp.int32)  # (64, TN)
         q = jnp.concatenate([(b >> (2 * i)) & 3 for i in range(4)], axis=0)
     if bits == 5:
-        h = qh_ref[...].astype(jnp.int32)  # (32, TN)
+        h = qh.astype(jnp.int32)  # (32, TN)
         hb = jnp.concatenate([(h >> i) & 1 for i in range(8)], axis=0)
         q = q | (hb << 4)
     elif bits == 6:
-        h = qh_ref[...].astype(jnp.int32)  # (64, TN)
+        h = qh.astype(jnp.int32)  # (64, TN)
         hb = jnp.concatenate([(h >> (2 * i)) & 3 for i in range(4)], axis=0)
         q = q | (hb << 4)
     elif bits == 3:
-        h = qh_ref[...].astype(jnp.int32)
+        h = qh.astype(jnp.int32)
         hb = jnp.concatenate([(h >> i) & 1 for i in range(8)], axis=0)
         q = q | (hb << 2)
     return q.astype(jnp.float32)
 
 
-def _make_kernel(bits: int, group: int, tk: int, has_qh: bool, has_bias: bool):
+def _make_kernel(bits: int, group: int, tk: int, has_qh: bool, has_bias: bool,
+                 ku: int, qs_rows: int, qh_rows: int, sg_rows: int):
+    """ku pack-groups are processed per grid step (statically unrolled):
+    small per-group tiles (36KB for Q4_K) leave the DMA engines idle and the
+    grid overhead dominant at decode batch sizes; a 2048-deep K slab per
+    step keeps the kernel HBM-bound instead."""
+
     def kernel(*refs):
         idx = 0
         x_ref = refs[idx]; idx += 1
@@ -262,14 +269,26 @@ def _make_kernel(bits: int, group: int, tk: int, has_qh: bool, has_bias: bool):
         def _init():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        q = _unpack_tile_T(bits, qs_ref, qh_ref)  # (tk, TN) f32
-        s = _expand_groups_mxu(s_ref[...], group, tk)  # (tk, TN)
-        w = s * q
-        if has_bias:
-            w = w - _expand_groups_mxu(b_ref[...], group, tk)
-        acc_ref[...] += jnp.dot(
-            x_ref[...], w.astype(jnp.bfloat16), preferred_element_type=jnp.float32
-        )
+        x_all = x_ref[...]
+        qs_all = qs_ref[...]
+        qh_all = qh_ref[...] if has_qh else None
+        s_all = s_ref[...]
+        b_all = b_ref[...] if has_bias else None
+
+        total = jnp.zeros_like(acc_ref[...])
+        for u in range(ku):
+            qs_u = qs_all[u * qs_rows : (u + 1) * qs_rows]
+            qh_u = qh_all[u * qh_rows : (u + 1) * qh_rows] if has_qh else None
+            q = _unpack_tile_T(bits, qs_u, qh_u)  # (tk, TN) f32
+            s = _expand_groups_mxu(s_all[u * sg_rows : (u + 1) * sg_rows], group, tk)
+            w = s * q
+            if has_bias:
+                w = w - _expand_groups_mxu(b_all[u * sg_rows : (u + 1) * sg_rows], group, tk)
+            total += jnp.dot(
+                x_all[:, u * tk : (u + 1) * tk], w.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        acc_ref[...] += total
         o_ref[...] = acc_ref[...]
 
     return kernel
@@ -293,30 +312,37 @@ def _qmm_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256, interpret: bo
     xp = _pad_rows(x.astype(jnp.bfloat16), m_pad)
 
     n_k = k // tk
-    grid = (n // block_n, n_k)
+    # K-unroll: process up to 8 pack-groups (2048 K) per grid step — the
+    # largest divisor of n_k that fits the slab budget
+    ku = 1
+    for d in range(min(8, n_k), 0, -1):
+        if n_k % d == 0:
+            ku = d
+            break
+    grid = (n // block_n, n_k // ku)
     has_bias = qt.qtype != GGMLQuantType.Q8_0
     has_qh = qt.qh is not None
 
     qs_rows = qt.qs.shape[0] // n_k
     sg_rows = tk // group
+    qh_rows = qt.qh.shape[0] // n_k if has_qh else 0
 
     in_specs = [
-        pl.BlockSpec((m_pad, tk), lambda i, j: (0, j)),
-        pl.BlockSpec((qs_rows, block_n), lambda i, j: (j, i)),
+        pl.BlockSpec((m_pad, tk * ku), lambda i, j: (0, j)),
+        pl.BlockSpec((qs_rows * ku, block_n), lambda i, j: (j, i)),
     ]
     args = [xp, qt.qs]
     if has_qh:
-        qh_rows = qt.qh.shape[0] // n_k
-        in_specs.append(pl.BlockSpec((qh_rows, block_n), lambda i, j: (j, i)))
+        in_specs.append(pl.BlockSpec((qh_rows * ku, block_n), lambda i, j: (j, i)))
         args.append(qt.qh)
-    in_specs.append(pl.BlockSpec((sg_rows, block_n), lambda i, j: (j, i)))
+    in_specs.append(pl.BlockSpec((sg_rows * ku, block_n), lambda i, j: (j, i)))
     args.append(qt.scales)
     if has_bias:
-        in_specs.append(pl.BlockSpec((sg_rows, block_n), lambda i, j: (j, i)))
+        in_specs.append(pl.BlockSpec((sg_rows * ku, block_n), lambda i, j: (j, i)))
         args.append(qt.bias)
 
     out = pl.pallas_call(
-        _make_kernel(bits, group, tk, has_qh, has_bias),
+        _make_kernel(bits, group, tk, has_qh, has_bias, ku, qs_rows, qh_rows, sg_rows),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         grid=grid,
         in_specs=in_specs,
