@@ -73,14 +73,16 @@ def main(argv=None):
     for t in pre_ids + post_ids:
         sampler.accept(t, apply_grammar=False)
     from ..sampling.samplers import sample
+    from ..tokenizer.stream import StreamDecoder
 
+    sdec = StreamDecoder(tok)
     b = Batch()
     for _ in range(args.n_predict):
         t = sample(sampler, logits)
         sampler.accept(t)
         if not args.ignore_eos and t == tok.vocab.eos_id:
             break
-        sys.stdout.write(tok.piece(t))
+        sys.stdout.write(sdec.feed(t))
         sys.stdout.flush()
         b.clear()
         b.add(t, n_past, 0)

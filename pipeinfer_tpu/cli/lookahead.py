@@ -38,8 +38,12 @@ def main(argv=None):
         sys.stdout.write(tok.decode(ids))
         sys.stdout.flush()
 
+    from ..tokenizer.stream import StreamDecoder
+
+    sdec = StreamDecoder(tok)
+
     def stream(t):
-        sys.stdout.write(tok.piece(t))
+        sys.stdout.write(sdec.feed(t))
         sys.stdout.flush()
 
     eng.generate(ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)

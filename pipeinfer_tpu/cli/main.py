@@ -149,8 +149,12 @@ def main(argv=None):
         sys.stdout.write(tok.decode(ids))
         sys.stdout.flush()
 
+    from ..tokenizer.stream import StreamDecoder
+
+    sdec = StreamDecoder(tok)
+
     def stream(token_id):
-        sys.stdout.write(tok.piece(token_id))
+        sys.stdout.write(sdec.feed(token_id))
         sys.stdout.flush()
 
     # prompt cache: skip re-prefilling a previously saved matching prompt

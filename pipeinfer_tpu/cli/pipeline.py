@@ -70,10 +70,13 @@ def main(argv=None):
         b.add(t, i, 0, want_logits=(i == len(ids) - 1))
     logits = ctx.decode(b)[-1]
     pos = len(ids)
+    from ..tokenizer.stream import StreamDecoder
+
+    sdec = StreamDecoder(tok)
     for _ in range(args.n_predict):
         t = sample(sampler, logits)
         sampler.accept(t)
-        sys.stdout.write(tok.piece(t))
+        sys.stdout.write(sdec.feed(t))
         sys.stdout.flush()
         if not args.ignore_eos and t == tok.vocab.eos_id:
             break

@@ -288,6 +288,13 @@ def pack(
     be, bb = QUANT_BLOCK_INFO[qtype]
     if k % be != 0:
         raise ValueError(f"K={k} not a multiple of {qtype.name} block {be}")
+    if k % min(PACK_GROUP, k) != 0:
+        # split-packed planes need whole pack groups (or K < one group);
+        # e.g. Q4_0 with K=288 is a legal ggml payload this layout can't hold
+        raise ValueError(
+            f"K={k} not a multiple of pack group {min(PACK_GROUP, k)}; "
+            f"pad the weight to a {PACK_GROUP}-column multiple"
+        )
     bits, group = FORMAT_INFO[qtype]
 
     if backend == "auto" and k % min(PACK_GROUP, k) == 0:

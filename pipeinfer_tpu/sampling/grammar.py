@@ -123,40 +123,111 @@ def _dedupe(stacks: list[Stack]) -> list[Stack]:
     return out
 
 
+def _utf8_walk(buf: bytes):
+    """Decode a byte string into (codepoints, incomplete_tail) or None if the
+    bytes are not valid UTF-8 (the reference's decode_utf8 with partial
+    carry, llama.cpp grammar partial_utf8 handling)."""
+    cps: list[int] = []
+    i, n = 0, len(buf)
+    while i < n:
+        b0 = buf[i]
+        if b0 < 0x80:
+            need = 1
+        elif b0 >= 0xF0:
+            need = 4
+        elif b0 >= 0xE0:
+            need = 3
+        elif b0 >= 0xC0:
+            need = 2
+        else:
+            return None  # stray continuation byte
+        if i + need > n:
+            # incomplete tail: bytes present so far must still be a valid
+            # prefix (lead + continuation bytes only), like the reference's
+            # decode_utf8 which rejects bad continuations immediately
+            if any(not 0x80 <= b <= 0xBF for b in buf[i + 1 :]):
+                return None
+            return cps, buf[i:]
+        try:
+            cps.append(ord(buf[i : i + need].decode("utf-8")))
+        except UnicodeDecodeError:
+            return None
+        i += need
+    return cps, b""
+
+
 @dataclasses.dataclass
 class GrammarState:
     """Mutable per-sequence grammar sampler state; copyable for async-run
-    snapshots (ref: llama_grammar_copy)."""
+    snapshots (ref: llama_grammar_copy).
+
+    Token pieces are matched byte-accurately: a byte-fallback token holding
+    the lead byte of a multi-byte UTF-8 character leaves its bytes in
+    ``partial`` until continuation tokens complete the codepoint (the
+    reference's grammar partial_utf8 state)."""
 
     machine: _Machine
     stacks: list[Stack]
-    token_cps: list[list[int]]  # vocab id -> codepoints of its piece
+    token_bytes: list[bytes]  # vocab id -> raw piece bytes
+    token_cps: list[list[int]]  # complete-codepoint prefix of each piece
+    token_tail: list[bytes]  # incomplete utf-8 tail of each piece (b"" = none)
     eos_id: int
+    partial: bytes = b""  # carried incomplete utf-8 sequence
 
     @classmethod
-    def from_gbnf(cls, text: str, token_pieces: list[str], eos_id: int) -> "GrammarState":
+    def from_gbnf(cls, text: str, token_pieces, eos_id: int) -> "GrammarState":
         m = _Machine(parse_gbnf(text))
+        tb = [p if isinstance(p, bytes) else p.encode("utf-8") for p in token_pieces]
+        cps, tails = [], []
+        for b in tb:
+            walked = _utf8_walk(b)
+            if walked is None:  # not UTF-8 at all: never matchable mid-char
+                cps.append([])
+                tails.append(b"\xff")  # poison: invalid as any continuation
+            else:
+                cps.append(walked[0])
+                tails.append(walked[1])
         return cls(
             machine=m,
             stacks=m.init_stacks(),
-            token_cps=[[ord(c) for c in p] for p in token_pieces],
+            token_bytes=tb,
+            token_cps=cps,
+            token_tail=tails,
             eos_id=eos_id,
         )
 
     def copy(self) -> "GrammarState":
-        return GrammarState(self.machine, list(self.stacks), self.token_cps, self.eos_id)
+        return GrammarState(
+            self.machine, list(self.stacks), self.token_bytes,
+            self.token_cps, self.token_tail, self.eos_id, self.partial,
+        )
 
     def reset(self):
         self.stacks = self.machine.init_stacks()
+        self.partial = b""
 
     @property
     def complete(self) -> bool:
-        return any(not s for s in self.stacks)
+        return not self.partial and any(not s for s in self.stacks)
+
+    def _walk_token(self, token_id: int):
+        """Effective (codepoints, new_partial) of a token in the current
+        partial-utf8 state, or None if the bytes are invalid here."""
+        if not self.partial:
+            tail = self.token_tail[token_id]
+            if tail == b"\xff":
+                return None
+            return self.token_cps[token_id], tail
+        return _utf8_walk(self.partial + self.token_bytes[token_id])
 
     def accept_token(self, token_id: int):
         if token_id == self.eos_id:
             return
-        for cp in self.token_cps[token_id]:
+        walked = self._walk_token(token_id)
+        if walked is None:
+            raise ValueError(f"token {token_id} is not valid UTF-8 here")
+        cps, self.partial = walked
+        for cp in cps:
             self.stacks = self.machine.accept_char(self.stacks, cp)
             if not self.stacks:
                 raise ValueError(f"token {token_id} violates grammar")
@@ -164,9 +235,14 @@ class GrammarState:
     def allows_token(self, token_id: int) -> bool:
         if token_id == self.eos_id:
             return self.complete
-        cps = self.token_cps[token_id]
-        if not cps:
+        walked = self._walk_token(token_id)
+        if walked is None:
             return False
+        cps, _tail = walked
+        if not cps and not _tail:
+            return False
+        # cps must advance the machine; an incomplete tail is optimistically
+        # allowed (its codepoint is checked when a later token completes it)
         return self.machine.can_accept_seq(self.stacks, cps)
 
     def mask_logits(self, logits: np.ndarray) -> np.ndarray:
@@ -211,5 +287,5 @@ class GrammarState:
 
 
 def grammar_state_from_gbnf(text: str, tokenizer) -> GrammarState:
-    pieces = [tokenizer.piece(i) for i in range(tokenizer.vocab.n_vocab)]
+    pieces = [tokenizer.piece_bytes(i) for i in range(tokenizer.vocab.n_vocab)]
     return GrammarState.from_gbnf(text, pieces, tokenizer.vocab.eos_id)

@@ -114,8 +114,8 @@ def apply_repetition_penalties(
         return logits
     out = logits.copy()
     ids, counts = np.unique(np.asarray(last_tokens, dtype=np.int64), return_counts=True)
-    ids = ids[(ids >= 0) & (ids < len(logits))]
-    counts = counts[: len(ids)]
+    keep = (ids >= 0) & (ids < len(logits))
+    ids, counts = ids[keep], counts[keep]
     vals = out[ids]
     vals = np.where(vals <= 0, vals * penalty_repeat, vals / penalty_repeat)
     vals = vals - counts * penalty_freq - (counts > 0) * penalty_present

@@ -43,7 +43,23 @@ class Request:
     sampler: SamplerState | None = None
     pending_logit_idx: int = -1
     done: bool = False
+    error: str | None = None  # set when the request failed (e.g. KV overflow)
     done_event: threading.Event = dataclasses.field(default_factory=threading.Event)
+
+    def cells_needed(self) -> int:
+        """Worst-case KV cells this request can occupy (prompt + budget)."""
+        n_prompt = len(self.prompt_ids)
+        if self.segments is not None:
+            n_prompt = sum(
+                len(payload) if kind == "tok" else payload.shape[0]
+                for kind, payload in self.segments
+            )
+        return n_prompt + self.n_predict
+
+    def fail(self, msg: str):
+        self.error = msg
+        self.done = True
+        self.done_event.set()
 
 
 class BatchScheduler:
@@ -67,6 +83,11 @@ class BatchScheduler:
         self.queue: list[Request] = []
         self._rid = itertools.count()
         self.lock = threading.Lock()
+        # KV admission control: sum of worst-case cells of admitted requests.
+        # Never admit beyond capacity — find_cells raising mid-step would
+        # kill the engine thread (the reference instead defers the slot,
+        # server.cpp has the same batch-doesn't-fit requeue).
+        self._reserved = 0
 
     def submit(self, req: Request) -> Request:
         req.rid = next(self._rid)
@@ -79,9 +100,19 @@ class BatchScheduler:
         return any(s is not None for s in self.slots) or bool(self.queue)
 
     def _admit(self):
+        usable = self.ctx.n_cells - 1  # trash cell reserved
         for i in range(self.max_slots):
             if self.slots[i] is None and self.queue:
+                need = self.queue[0].cells_needed()
+                if need > usable:
+                    self.queue.pop(0).fail(
+                        f"prompt + n_predict needs {need} KV cells, cache has {usable}"
+                    )
+                    continue
+                if self._reserved + need > usable:
+                    break  # wait for running requests to finish
                 req = self.queue.pop(0)
+                self._reserved += need
                 req.seq = i
                 req.sampler = SamplerState(params=req.sampling)
                 self.ctx.seq_rm(i, 0, -1)
@@ -155,7 +186,11 @@ class BatchScheduler:
                 sample_list.append(req)
         if len(batch) == 0:
             return 0
-        logits = self.ctx.decode(batch, self.topk)
+        try:
+            logits = self.ctx.decode(batch, self.topk)
+        except RuntimeError as e:  # KV full despite admission control
+            self._fail_live(f"engine error: {e}")
+            return 0
         for req in sample_list:
             tok = sample(req.sampler, logits[req.pending_logit_idx])
             req.sampler.accept(tok)
@@ -170,18 +205,40 @@ class BatchScheduler:
     def _finish(self, req: Request):
         self.slots[req.seq] = None
         self.ctx.seq_rm(req.seq, 0, -1)
+        self._reserved -= req.cells_needed()
         req.done = True
         req.done_event.set()
+
+    def _fail_live(self, msg: str):
+        """Fail every live request instead of dying silently — waiting HTTP
+        handlers see req.error rather than hanging on done_event forever."""
+        with self.lock:
+            q, self.queue = self.queue, []
+        for req in q:
+            req.fail(msg)
+        for i, req in enumerate(self.slots):
+            if req is not None:
+                self.slots[i] = None
+                self.ctx.seq_rm(i, 0, -1)
+                req.fail(msg)
+        self._reserved = 0
 
     def run_until_idle(self):
         while self.busy:
             self.step()
 
     def serve_forever(self, stop: threading.Event, idle_sleep: float = 0.005):
+        import sys
         import time
 
         while not stop.is_set():
-            if self.step() == 0:
+            try:
+                n = self.step()
+            except Exception as e:  # engine must outlive any one request
+                print(f"engine exception: {e!r}", file=sys.stderr, flush=True)
+                self._fail_live(f"engine exception: {e}")
+                n = 0
+            if n == 0:
                 time.sleep(idle_sleep)
 
 
@@ -218,6 +275,7 @@ class SpecBatchScheduler:
         self.max_slots = self.engine.max_streams
         self.queue: list[Request] = []
         self._live: dict[int, Request] = {}  # SpecRequest.id -> serving req
+        self._sreqs: dict[int, object] = {}  # SpecRequest.id -> SpecRequest
         self.lock = threading.Lock()
 
     def submit(self, req: Request) -> Request:
@@ -248,6 +306,7 @@ class SpecBatchScheduler:
             )
             req.rid = sreq.id
             self._live[sreq.id] = req
+            self._sreqs[sreq.id] = sreq
 
         # reap finished streams
         live_ids = {r.id for r in self.engine.active}
@@ -255,6 +314,7 @@ class SpecBatchScheduler:
         for sid in list(self._live):
             if sid not in live_ids:
                 req = self._live.pop(sid)
+                req.error = self._sreqs.pop(sid).error
                 req.done = True
                 req.done_event.set()
 
@@ -270,9 +330,20 @@ class SpecBatchScheduler:
         self._drain_queue()
 
     def serve_forever(self, stop: threading.Event, idle_sleep: float = 0.005):
+        import sys
         import time
 
         while not stop.is_set():
-            if self.step() == 0:
+            try:
+                n = self.step()
+            except Exception as e:
+                print(f"engine exception: {e!r}", file=sys.stderr, flush=True)
+                try:
+                    self.engine.abort_all(f"engine exception: {e}")
+                except Exception:
+                    pass
+                self._drain_queue()
+                n = 0
+            if n == 0:
                 self._drain_queue()
                 time.sleep(idle_sleep)

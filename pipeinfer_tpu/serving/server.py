@@ -164,6 +164,9 @@ def make_handler(engine: EngineState):
                     segments=segments,
                 )
                 engine.scheduler.submit(req)
+                from ..tokenizer.stream import StreamDecoder
+
+                sdec = StreamDecoder(tok)
                 sent = 0
                 while True:
                     try:
@@ -172,20 +175,26 @@ def make_handler(engine: EngineState):
                         if req.done:
                             break
                         continue
-                    piece = tok.piece(t)
+                    piece = sdec.feed(t)  # buffers partial UTF-8 sequences
+                    sent += 1
+                    if not piece:
+                        continue
                     payload = json.dumps({"content": piece, "stop": False})
                     self.wfile.write(f"data: {payload}\n\n".encode())
                     self.wfile.flush()
-                    sent += 1
-                self.wfile.write(
-                    f"data: {json.dumps({'content': '', 'stop': True, 'tokens_predicted': sent})}\n\n".encode()
-                )
+                final = {"content": sdec.flush(), "stop": True, "tokens_predicted": sent}
+                if req.error:
+                    final["error"] = req.error
+                self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
                 return
 
             req = Request(prompt_ids=ids, n_predict=n_predict,
                           sampling=_sampling_from_body(body), segments=segments)
             engine.scheduler.submit(req)
             req.done_event.wait()
+            if req.error:
+                self._json(503, {"error": req.error})
+                return
             text = tok.decode(req.generated)
             if openai:
                 self._json(

@@ -50,8 +50,18 @@ class SpecRequest:
     seq_base: int = -1
     tokens: list[int] = field(default_factory=list)
     done: bool = False
+    error: str | None = None
     t_start: float = -1.0
     t_done: float = -1.0
+
+    def cells_needed(self, sp: SpecParams) -> int:
+        """Worst-case KV cells: committed stream + every in-flight tree."""
+        return (
+            len(self.prompt_ids)
+            + self.n_predict
+            + sp.max_inflight * sp.n_parallel * sp.n_draft
+            + sp.n_draft  # draft-root redecode slack
+        )
 
 
 class MultiPipeInfer:
@@ -89,6 +99,7 @@ class MultiPipeInfer:
         self.active: list[SpecRequest] = []
         self._ids = itertools.count()
         self._rr = 0  # round-robin blocking pointer
+        self._reserved = 0  # KV cells promised to admitted streams
 
     # -- request lifecycle ---------------------------------------------------
 
@@ -113,8 +124,22 @@ class MultiPipeInfer:
         return req
 
     def _admit(self):
+        usable = min(self.tgt.n_cells, self.dft.n_cells) - 1
         while self.pending and self.free_bases:
+            need = self.pending[0].cells_needed(self.sp)
+            if need > usable:
+                req = self.pending.popleft()
+                req.error = (
+                    f"prompt + n_predict + speculation scratch needs {need} "
+                    f"KV cells, cache has {usable}"
+                )
+                req.done = True
+                req.t_done = time.perf_counter()
+                continue
+            if self._reserved + need > usable:
+                break  # wait for a running stream to release cells
             req = self.pending.popleft()
+            self._reserved += need
             base = self.free_bases.popleft()
             sp_samp = req.sampling or self.sampling
             ctrl = PipeInferController(
@@ -152,6 +177,23 @@ class MultiPipeInfer:
             self.dft.seq_rm(s)
         self.active.remove(req)
         self.free_bases.append(req.seq_base)
+        self._reserved -= req.cells_needed(self.sp)
+
+    def abort_all(self, msg: str):
+        """Fail every live stream and reset engine state (engine-thread
+        exception recovery: waiting callers see .error, not a hang)."""
+        for req in list(self.pending) + list(self.active):
+            req.error = msg
+            req.done = True
+            req.t_done = time.perf_counter()
+        self.pending.clear()
+        for req in list(self.active):
+            for s in range(req.seq_base, req.seq_base + self.stride):
+                self.tgt.seq_rm(s)
+                self.dft.seq_rm(s)
+            self.free_bases.append(req.seq_base)
+        self.active.clear()
+        self._reserved = 0
 
     # -- scheduling ----------------------------------------------------------
 

@@ -110,14 +110,20 @@ class BPETokenizer:
             out.append(self.vocab.eos_id)
         return out
 
-    def piece(self, token_id: int) -> str:
+    def piece_bytes(self, token_id: int) -> bytes:
+        """Token -> raw piece bytes (ref: llama_token_to_piece)."""
         t = self.vocab.tokens[token_id]
         if self.vocab.token_types[token_id] == TokenType.CONTROL:
-            return ""
+            return b""
         try:
-            return bytes(_U2B[c] for c in t).decode("utf-8", errors="replace")
+            return bytes(_U2B[c] for c in t)
         except KeyError:
-            return t
+            return t.encode("utf-8")
+
+    def piece(self, token_id: int) -> str:
+        """Token -> display text. Lossy for tokens holding partial UTF-8 —
+        streaming callers should use tokenizer.stream.StreamDecoder."""
+        return self.piece_bytes(token_id).decode("utf-8", errors="replace")
 
     def decode(self, ids: list[int]) -> str:
         buf = bytearray()

@@ -132,15 +132,22 @@ class SPMTokenizer:
 
     # -- decoding -----------------------------------------------------------
 
-    def piece(self, token_id: int) -> str:
-        """Token -> text piece (ref: llama_token_to_piece)."""
+    def piece_bytes(self, token_id: int) -> bytes:
+        """Token -> raw piece bytes (ref: llama_token_to_piece — byte
+        tokens return the raw byte, so multi-byte UTF-8 characters split
+        across byte tokens reassemble correctly)."""
         tt = self.vocab.token_types[token_id]
         t = self.vocab.tokens[token_id]
         if tt == TokenType.BYTE:
-            return chr(int(t[3:5], 16))
+            return bytes([int(t[3:5], 16)])
         if tt == TokenType.CONTROL:
-            return ""
-        return t.replace(_WS, " ")
+            return b""
+        return t.replace(_WS, " ").encode("utf-8")
+
+    def piece(self, token_id: int) -> str:
+        """Token -> display text. Lossy for split UTF-8 byte tokens —
+        streaming callers should use tokenizer.stream.StreamDecoder."""
+        return self.piece_bytes(token_id).decode("utf-8", errors="replace")
 
     def decode(self, ids: list[int]) -> str:
         # byte tokens must be merged at the byte level to re-form utf-8

@@ -209,3 +209,31 @@ def test_http_server_speculative(model, tmp_path_factory):
     finally:
         httpd.shutdown()
         engine.shutdown()
+
+
+def test_kv_admission_control(model):
+    """A request that can never fit fails with .error (no hang, engine
+    alive); oversubscribing requests queue until cells free up
+    (ADVICE r1: find_cells RuntimeError used to kill the engine thread)."""
+    params, cfg = model
+    ctx = InferenceContext(params, cfg, n_cells=64, cache_dtype=jnp.float32)
+    sched = BatchScheduler(ctx, max_slots=4, eos_id=-1, topk=None)
+
+    too_big = sched.submit(
+        Request(prompt_ids=[1] * 10, n_predict=200, sampling=SamplingParams(temp=0.0))
+    )
+    sched.step()
+    assert too_big.done and too_big.error and "KV cells" in too_big.error
+
+    # two requests that each fit but not together: both must complete
+    reqs = [
+        sched.submit(
+            Request(prompt_ids=[5, 9, 23], n_predict=35, sampling=SamplingParams(temp=0.0))
+        )
+        for _ in range(2)
+    ]
+    sched.run_until_idle()
+    for r in reqs:
+        assert r.done and r.error is None
+        assert len(r.generated) == 35
+    assert sched._reserved == 0
