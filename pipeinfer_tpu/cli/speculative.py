@@ -85,6 +85,12 @@ def main(argv=None):
 
     sp = spec_from_args(args)
     sampling = sampling_from_args(args)
+    grammar = None
+    if args.grammar or args.grammar_file:
+        from ..sampling.grammar import grammar_state_from_gbnf
+
+        text = args.grammar or open(args.grammar_file).read()
+        grammar = grammar_state_from_gbnf(text, tok)
     prompt = read_prompt(args)
     ids = tok.encode(prompt, add_bos=True)
     if not args.no_display_prompt:
@@ -100,12 +106,16 @@ def main(argv=None):
         sys.stdout.flush()
 
     if args.sync:
-        engine = SyncSpeculator(ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id)
+        engine = SyncSpeculator(
+            ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id, grammar=grammar
+        )
         engine.generate(ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)
         stats = engine.stats
         metrics = None
     else:
-        engine = PipeInferController(ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id)
+        engine = PipeInferController(
+            ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id, grammar=grammar
+        )
         engine.generate(ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)
         stats = engine.stats
         metrics = engine.metrics
@@ -118,8 +128,12 @@ def main(argv=None):
     err(f"n_drafted = {stats.n_drafted}")
     err(f"n_accept  = {stats.n_accept}")
     err(f"accept    = {100.0 * stats.accept_rate:.3f}%")
+    if stats.n_drafted_unverified:
+        err(f"accept (decided) = {100.0 * stats.accept_rate_decided:.3f}% "
+            f"({stats.n_drafted_unverified} drafts never verified)")
     if metrics is not None:
         err(f"runs      = {metrics.n_runs} ({metrics.n_canceled_runs} canceled)")
+        err(f"dead work = {100.0 * metrics.dead_work_frac:.1f}% of dispatched tokens")
         err(f"encode    = {metrics.encode_tps:.2f} t/s")
         err(f"decode    = {metrics.decode_tps:.2f} t/s")
         err(f"avg itl   = {metrics.avg_itl * 1e3:.1f} ms")

@@ -68,6 +68,7 @@ class AsyncRun:
     # the draft re-decoded the chain root on its branch seq (fresh chain):
     # its cell at base-1 must be consolidated with the tree
     dft_root_redecoded: bool = False
+    n_drafted: int = 0  # drafted tokens this run carries (spec only)
 
 
 @dataclasses.dataclass
@@ -82,6 +83,16 @@ class PipeInferMetrics:
     n_decoded: int = 0
     n_canceled_runs: int = 0
     n_runs: int = 0
+    # dead-work meter: device tokens dispatched for runs later canceled or
+    # discarded — misprediction cost made visible (ref: the canceled-batch
+    # compute the reference aborts mid-graph, llama.cpp:5665-5691; XLA steps
+    # are not abortable, so this is pure waste on TPU)
+    n_dispatched_tokens: int = 0
+    n_dead_tokens: int = 0
+
+    @property
+    def dead_work_frac(self) -> float:
+        return self.n_dead_tokens / max(self.n_dispatched_tokens, 1)
 
     @property
     def avg_itl(self) -> float:
@@ -110,10 +121,16 @@ class PipeInferController:
         eos_id: int = 2,
         seq_base: int = 0,
         offsets: "deque[int] | None" = None,
+        grammar=None,
     ):
         """seq_base: the committed sequence slot for this stream (multi-
         request engines give each request a disjoint slot namespace and a
-        shared branch-offset pool via `offsets`)."""
+        shared branch-offset pool via `offsets`).
+
+        grammar: optional GrammarState constraining the target sampler;
+        draft trees are launched with a per-run snapshot advanced through
+        the assumed chain (ref: speculative.cpp:1234-1245 sampler-state
+        snapshot per async run)."""
         self.tgt = ctx_tgt
         self.dft = ctx_dft
         self.sampling = sampling
@@ -124,9 +141,9 @@ class PipeInferController:
         self.metrics = PipeInferMetrics()
         # sparse logits head: ship top-K + normalizer instead of the vocab
         # row (host fetch bandwidth bounds decode); full logits only when a
-        # chain feature needs them
+        # chain feature needs them (grammar masking walks the full vocab)
         self.topk: int | None = None
-        if sampling.mirostat == 0 and not sampling.logit_bias:
+        if sampling.mirostat == 0 and not sampling.logit_bias and grammar is None:
             self.topk = min(128, 1 << 30)
 
         self.runs: deque[AsyncRun] = deque()  # newest appended right
@@ -141,7 +158,7 @@ class PipeInferController:
         # generation state
         self.prompt: list[int] = []
         self.generated: list[int] = []
-        self.sampler = SamplerState(params=sampling)
+        self.sampler = SamplerState(params=sampling, grammar=grammar)
 
         # speculation frontier: the chain of assumed (drafted-but-unverified)
         # branch-0 tokens at positions [chain_base, spec_base). The chain
@@ -196,6 +213,7 @@ class PipeInferController:
             )
         )
         self.metrics.n_runs += 1
+        self.metrics.n_dispatched_tokens += len(b)
 
     def _launch_spec(self, p_adjust: float) -> bool:
         """Draft a tree at the assumed frontier and dispatch it to the
@@ -214,6 +232,14 @@ class PipeInferController:
 
         proto = draft_sampler_proto(self.sampling)
         proto.prev = list(self.sampler.prev) + list(self.chain_tokens)
+        if self.sampler.grammar is not None:
+            # snapshot the grammar at the committed frontier and replay the
+            # assumed chain — drafted tokens stay grammar-legal, so the
+            # verifier's masked samples can actually match them
+            g = self.sampler.grammar.copy()
+            for t in self.chain_tokens:
+                g.accept_token(t)
+            proto.grammar = g
         branches = drafting.new_branches(sp.n_parallel, proto)
 
         batch_tgt = Batch()
@@ -257,9 +283,11 @@ class PipeInferController:
                 seq_offset=offset,
                 speculative=True,
                 dft_root_redecoded=root_redecode,
+                n_drafted=n_drafted,
             )
         )
         self.metrics.n_runs += 1
+        self.metrics.n_dispatched_tokens += len(batch_tgt)
 
         # chain down branch 0 (ref: id = drafts[0].tokens.back())
         if depth0 > 0:
@@ -292,6 +320,7 @@ class PipeInferController:
 
     def _discard(self, run: AsyncRun):
         self.metrics.n_canceled_runs += 1
+        self.metrics.n_dead_tokens += len(run.batch)
         if run.speculative:
             self.free_offsets.append(run.seq_offset)
             if self.chain_prev_offset == run.seq_offset:
@@ -518,10 +547,12 @@ class PipeInferController:
     def finish_generation(self) -> list[int]:
         self.metrics.t_decode_s = time.perf_counter() - self._t_dec0
         self.metrics.n_decoded = len(self.generated)
-        # drain any remaining runs
+        # drain any remaining runs: their drafts never reached verification
+        # (tail waste) — drop the device buffers without a host transfer
         while self.runs:
             r = self.runs.popleft()
-            r.handle.fetch()
+            self.stats.n_drafted_unverified += r.n_drafted
+            self.metrics.n_dead_tokens += len(r.batch)
             if r.speculative:
                 self._discard_cells(r)
                 self.free_offsets.append(r.seq_offset)
@@ -533,7 +564,8 @@ class PipeInferController:
         self.check_for_cancel()
         run = self.runs.popleft()
         if run.canceled:
-            run.handle.fetch()  # retire device buffers
+            # drop without fetching: no host transfer for dead work (the
+            # device compute itself is unabortable; see dead_work_frac)
             self._discard(run)
             return False
         logits = run.handle.fetch()

@@ -34,10 +34,22 @@ class SpecStats:
     n_accept: int = 0
     n_predict: int = 0
     n_rounds: int = 0
+    # drafted tokens whose runs were still in flight when generation hit its
+    # stop condition — never verified (the async pipeline's tail waste; with
+    # deep chains and short generations this dominates the naive accept %)
+    n_drafted_unverified: int = 0
 
     @property
     def accept_rate(self) -> float:
+        """Acceptance over ALL drafted tokens (the reference's accept %,
+        ref: speculative.cpp:712-730)."""
         return self.n_accept / max(self.n_drafted, 1)
+
+    @property
+    def accept_rate_decided(self) -> float:
+        """Acceptance over drafted tokens that actually reached
+        verification — draft quality, untangled from pipeline tail waste."""
+        return self.n_accept / max(self.n_drafted - self.n_drafted_unverified, 1)
 
 
 def draft_sampler_proto(user: SamplingParams) -> SamplerState:
@@ -56,17 +68,19 @@ class SyncSpeculator:
         sp: SpecParams,
         *,
         eos_id: int = 2,
+        grammar=None,
     ):
         self.ctx_tgt = ctx_tgt
         self.ctx_dft = ctx_dft
         self.sampling = sampling
         self.sp = sp
         self.eos_id = eos_id
+        self.grammar = grammar
         self.stats = SpecStats()
 
     def generate(self, prompt_ids: list[int], n_predict: int, *, ignore_eos=False, stream=None):
         tgt, dft, sp = self.ctx_tgt, self.ctx_dft, self.sp
-        sampler = SamplerState(params=self.sampling)
+        sampler = SamplerState(params=self.sampling, grammar=self.grammar)
         for t in prompt_ids:
             sampler.accept(t, apply_grammar=False)
 
@@ -92,6 +106,10 @@ class SyncSpeculator:
 
         while len(generated) < n_predict:
             self.stats.n_rounds += 1
+            # per-round sampler snapshot for the draft branches
+            # (ref: llama_sampling_cp before drafting)
+            proto.prev = list(sampler.prev)
+            proto.grammar = sampler.grammar.copy() if sampler.grammar is not None else None
             branches = drafting.new_branches(sp.n_parallel, proto)
             # branch seqs inherit the committed prefix [0, n_past) and the
             # root cell written below

@@ -120,3 +120,84 @@ def test_constrained_sampling_end_to_end():
         out.append(chr(t))
     assert all(c.isdigit() for c in out), out
     assert st.grammar.complete
+
+
+# ---------------------------------------------------------------------------
+# grammar x speculation: async + sync speculative decoding under a grammar
+# must be token-exact vs plain grammar-constrained decoding
+# (ref: speculative.cpp:1234-1245 snapshots grammar sampler state per run)
+# ---------------------------------------------------------------------------
+
+
+def _spec_grammar_setup(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from pipeinfer_tpu.models import load_model
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+    from pipeinfer_tpu.tools import testmodel
+
+    cfg = dict(n_layers=2, n_embd=128, n_heads=4, n_kv_heads=2, n_ff=256, n_vocab=160)
+    path = tmp_path_factory.mktemp("gramspec") / "tgt.gguf"
+    testmodel.build_tiny_llama(path, seed=11, **cfg)
+    return load_model(path)
+
+
+def _ascii_grammar(gbnf, n_vocab=160):
+    # ids >= 128 get unmatchable multi-byte pieces so the grammar masks them
+    pieces = [chr(c) for c in range(128)] + ["§"] * (n_vocab - 128)
+    return GrammarState.from_gbnf(gbnf, pieces, eos_id=0)
+
+
+def test_speculation_under_grammar_token_exact(tmp_path_factory):
+    import jax.numpy as jnp
+
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+    from pipeinfer_tpu.sampling.samplers import SamplerState, SamplingParams, sample
+    from pipeinfer_tpu.spec.controller import PipeInferController
+    from pipeinfer_tpu.spec.params import SpecParams
+    from pipeinfer_tpu.spec.sync_spec import SyncSpeculator
+
+    params, cfg = _spec_grammar_setup(tmp_path_factory)
+    gbnf = r'root ::= ("ab" | "ba" | [0-9] [0-9]?)+'
+    prompt = [3, 17, 42, 7]
+    n_predict = 20
+
+    def make_ctx():
+        return InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+
+    # plain grammar-constrained greedy decode (the oracle)
+    ctx = make_ctx()
+    st = SamplerState(params=SamplingParams(temp=0.0), grammar=_ascii_grammar(gbnf))
+    b = Batch()
+    for i, t in enumerate(prompt):
+        b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+    logits = ctx.decode(b)[-1]
+    want = []
+    n_past = len(prompt)
+    for _ in range(n_predict):
+        tok = sample(st, logits)
+        st.accept(tok)
+        want.append(tok)
+        b.clear()
+        b.add(tok, n_past, 0)
+        logits = ctx.decode(b)[0]
+        n_past += 1
+    assert all(t < 128 for t in want), "grammar failed to constrain the oracle"
+
+    sp = SpecParams(n_draft=4, n_parallel=2, p_accept=0.0, max_inflight=3)
+    sync = SyncSpeculator(
+        make_ctx(), make_ctx(), SamplingParams(temp=0.0), sp,
+        eos_id=-1, grammar=_ascii_grammar(gbnf),
+    )
+    got_sync = sync.generate(list(prompt), n_predict)
+    assert got_sync == want, f"sync spec under grammar diverges: {got_sync} vs {want}"
+    assert sync.stats.n_accept > 0
+
+    c = PipeInferController(
+        make_ctx(), make_ctx(), SamplingParams(temp=0.0), sp,
+        eos_id=-1, grammar=_ascii_grammar(gbnf),
+    )
+    assert c.topk is None, "sparse head must be disabled under a grammar"
+    got_async = c.generate(list(prompt), n_predict)
+    assert got_async == want, f"async spec under grammar diverges: {got_async} vs {want}"
+    assert c.stats.n_accept > 0
