@@ -31,9 +31,19 @@ from . import kv_cache as kv
 
 
 def _bucket(n: int) -> int:
-    b = 1
+    """Pad batch sizes to a SPARSE bucket set: {1, 8, 32, 128, 512, ...}.
+
+    Every bucket is a separate XLA compilation; on a weight-streaming-bound
+    decode step the matmul cost is nearly independent of the token dim, so
+    padding 9→32 is ~free while halving the number of compiled variants
+    (vs powers of two)."""
+    if n <= 1:
+        return 1
+    if n <= 8:
+        return 8
+    b = 32
     while b < n:
-        b *= 2
+        b *= 4
     return b
 
 
@@ -164,6 +174,92 @@ class InferenceContext:
             for i in range(depth)
         ]
         return tokens, cands
+
+    # -- startup ------------------------------------------------------------
+
+    def precompile(
+        self,
+        *,
+        buckets=(1, 8, 32),
+        topk: int | None = None,
+        chain_depths=(),
+        n_cand: int = 8,
+        seq_groups=(),
+        max_workers: int = 6,
+        log=None,
+    ):
+        """Warm-compile the program variants this context will use, in
+        PARALLEL, by executing each once against a throwaway cache (the
+        remote-compile service overlaps concurrent compiles; see
+        utils.compile_cache). Results land in the persistent cache, so the
+        next process deserializes in seconds.
+
+        seq_groups: branch-group sizes (n_parallel values) to warm the
+        fused seq-op programs for (prepare_branch_seqs/consolidate)."""
+        from ..utils.compile_cache import warm_parallel
+
+        def dummy_cache():
+            return jax.tree_util.tree_map(jnp.copy, self.cache)
+
+        def wait(x):
+            # under the IFRT proxy, block_until_ready returns at remote
+            # ENQUEUE; only a host fetch waits for compile+execution — fetch
+            # the smallest leaf so warm jobs truly finish before reporting
+            leaves = sorted(jax.tree_util.tree_leaves(x), key=lambda a: a.nbytes)
+            np.asarray(leaves[0])
+
+        def step_job(b, _topk):
+            def run():
+                step = self._step_fn(b, _topk)
+                out, c2 = step(
+                    self.params,
+                    dummy_cache(),
+                    np.zeros(b, np.int32),
+                    np.zeros(b, np.int32),
+                    np.zeros(b, np.int32),
+                    np.full(b, self.trash_cell, np.int32),
+                    np.zeros(b, bool),
+                    np.zeros((b, kv.SEQ_WORDS), np.uint32),
+                )
+                wait(out)
+
+            return run
+
+        def chain_job(d):
+            def run():
+                fn = self._chain_fn(d, n_cand)
+                out, c2 = fn(
+                    self.params,
+                    dummy_cache(),
+                    np.int32(0),
+                    np.int32(0),
+                    np.int32(1),
+                    np.full(d, self.trash_cell, np.int32),
+                )
+                wait(out)
+
+            return run
+
+        def seq_job(g):
+            def run():
+                c = _jit_prepare_seqs(
+                    dummy_cache(), np.int32(0), np.arange(1, g + 1, dtype=np.int32), np.int32(1)
+                )
+                c = _jit_consolidate(
+                    c, np.int32(1), np.arange(1, g + 1, dtype=np.int32),
+                    np.int32(0), np.int32(1), np.int32(0),
+                )
+                c = _jit_seq_rm(c, 1, 0, -1)
+                c = _jit_seq_cp(c, 0, 1, 0, 1)
+                c = _jit_rm_tail(c, 1)
+                wait(c)
+
+            return run
+
+        jobs = [(f"step[{b},topk={topk}]", step_job(b, topk)) for b in buckets]
+        jobs += [(f"chain[{d}]", chain_job(d)) for d in chain_depths]
+        jobs += [(f"seqops[{g}]", seq_job(g)) for g in seq_groups]
+        return warm_parallel(jobs, max_workers=max_workers, log=log)
 
     # -- cell allocation (host) --------------------------------------------
 
@@ -313,20 +409,28 @@ class InferenceContext:
         self.h_pos[~keep] = -1
 
     def seq_shift(self, seq_id: int, p0: int, p1: int, delta: int):
-        self.cache = kv.seq_shift(
-            self.cache,
-            seq_id,
-            p0,
-            p1,
-            delta,
-            rope_dims=self.cfg.rope_dims,
-            rope_mode=self.cfg.rope_mode,
-            freq_base=self.cfg.rope_base,
-            freq_scale=self.cfg.rope_scale,
-        )
+        """Shift positions + re-rotate K for [p0,p1) of a sequence. The host
+        cell mirror identifies the affected cells, so the device op gathers,
+        re-ropes, and scatters ONLY those (ref: the reference's lazy
+        per-range K_shift llama.cpp:3495-3544 — not a full-cache rope)."""
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
         hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
+        cells = np.nonzero(hit)[0]
+        if len(cells):
+            n_pad = _bucket(len(cells))
+            padded = np.full(n_pad, self.trash_cell, np.int32)
+            padded[: len(cells)] = cells
+            self.cache = _jit_shift_cells(
+                self.cache,
+                padded,
+                np.int32(delta),
+                np.int32(self.trash_cell),
+                self.cfg.rope_dims,
+                self.cfg.rope_mode,
+                self.cfg.rope_base,
+                self.cfg.rope_scale,
+            )
         self.h_pos[hit] += delta
         dropped = hit & (self.h_pos < 0)
         self.h_seq[dropped] = 0
@@ -413,6 +517,19 @@ def _jit_seq_keep(cache, seq_id):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _jit_rm_tail(cache, p0):
     return kv.rm_tail(cache, p0)
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0,),
+    static_argnames=("rope_dims", "rope_mode", "freq_base", "freq_scale"),
+)
+def _jit_shift_cells(cache, cells, delta, trash, rope_dims, rope_mode, freq_base, freq_scale):
+    return kv.shift_cells(
+        cache, cells, delta, trash,
+        rope_dims=rope_dims, rope_mode=rope_mode,
+        freq_base=freq_base, freq_scale=freq_scale,
+    )
 
 
 @functools.lru_cache(maxsize=None)

@@ -220,6 +220,61 @@ def seq_shift(
     return dataclasses.replace(cache, k=k_rot, pos=final_pos, seq=new_seq)
 
 
+def shift_cells(
+    cache: KVCache,
+    cells: jax.Array,  # int32 [N] affected cell indices, padded with `trash`
+    delta,
+    trash,
+    *,
+    rope_dims: int,
+    rope_mode: str = "norm",
+    freq_base: float = 10000.0,
+    freq_scale: float = 1.0,
+) -> KVCache:
+    """Range-limited K-shift: re-rotate ONLY the given cells (gather → rope
+    → scatter), the TPU counterpart of the reference's lazily-applied
+    per-range K_shift (ref: llama.cpp:3495-3544) — the caller (the host
+    cell mirror) knows which cells a [p0,p1) shift touches, so traffic is
+    O(affected · L) instead of O(n_cells · L). Padding entries must point
+    at the trash cell (identity delta)."""
+    delta = jnp.asarray(delta, jnp.int32)
+    pad = jnp.asarray(cells, jnp.int32) == jnp.asarray(trash, jnp.int32)
+    d_eff = jnp.where(pad, 0, delta)  # [N]
+
+    # rotate gathered K rows by d_eff (pairwise adjacent rope, matching
+    # ops.layers.apply_rope "norm" / "neox" conventions)
+    k_sel = cache.k[:, :, cells].astype(jnp.float32)  # [L, KVH, N, D]
+    d = k_sel.shape[-1]
+    half = rope_dims // 2
+    freqs = freq_base ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / rope_dims)
+    angles = d_eff.astype(jnp.float32)[:, None] * freqs[None, :] * freq_scale  # [N, half]
+    cos = jnp.cos(angles)[None, None]  # [1, 1, N, half]
+    sin = jnp.sin(angles)[None, None]
+    if rope_mode == "neox":
+        x1 = k_sel[..., :half]
+        x2 = k_sel[..., half : 2 * half]
+        r1 = x1 * cos - x2 * sin
+        r2 = x1 * sin + x2 * cos
+        k_rot = jnp.concatenate([r1, r2, k_sel[..., 2 * half :]], axis=-1)
+    else:
+        xe = k_sel[..., 0:rope_dims:2]
+        xo = k_sel[..., 1:rope_dims:2]
+        r_e = xe * cos - xo * sin
+        r_o = xe * sin + xo * cos
+        rot = jnp.stack([r_e, r_o], axis=-1).reshape(*k_sel.shape[:-1], rope_dims)
+        k_rot = jnp.concatenate([rot, k_sel[..., rope_dims:]], axis=-1)
+    new_k = cache.k.at[:, :, cells].set(k_rot.astype(cache.k.dtype))
+
+    new_cell_pos = cache.pos[cells] + d_eff
+    new_pos = cache.pos.at[cells].set(jnp.where(pad, cache.pos[cells], new_cell_pos))
+    dropped = (~pad) & (new_cell_pos < 0)
+    new_pos = new_pos.at[cells].set(jnp.where(dropped, -1, new_pos[cells]))
+    new_seq = cache.seq.at[cells].set(
+        jnp.where(dropped[:, None], jnp.zeros_like(cache.seq[cells]), cache.seq[cells])
+    )
+    return dataclasses.replace(cache, k=new_k, pos=new_pos, seq=new_seq)
+
+
 def clear(cache: KVCache) -> KVCache:
     return dataclasses.replace(
         cache,

@@ -61,3 +61,62 @@ def test_flash_alibi(rng):
     ))
     v = np.asarray(valid)
     np.testing.assert_allclose(got[v], want[v], rtol=2e-5, atol=2e-5)
+
+
+def test_ranged_shift_matches_full_shift():
+    """shift_cells (host-ranged gather→rope→scatter) must be numerically
+    equivalent to the full-cache seq_shift for the affected cells and leave
+    every other cell bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pipeinfer_tpu.runtime import kv_cache as kv
+
+    rng = np.random.default_rng(5)
+    L, C, H, D = 3, 32, 2, 16
+    cache = kv.KVCache(
+        k=jnp.asarray(rng.standard_normal((L, H, C, D)), jnp.float32),
+        v=jnp.asarray(rng.standard_normal((L, H, C, D)), jnp.float32),
+        pos=jnp.asarray(np.r_[np.arange(20), np.full(12, -1)], jnp.int32),
+        seq=jnp.zeros((C, kv.SEQ_WORDS), jnp.uint32).at[:20, 0].set(1),
+    )
+    kwargs = dict(rope_dims=D, rope_mode="norm", freq_base=10000.0, freq_scale=1.0)
+    want = kv.seq_shift(cache, 0, 5, 15, -3, **kwargs)
+
+    hit = np.zeros(C, bool)
+    hit[5:15] = True  # pos == cell index here
+    cells = np.nonzero(hit)[0]
+    trash = C - 1
+    padded = np.full(16, trash, np.int32)
+    padded[: len(cells)] = cells
+    got = kv.shift_cells(cache, jnp.asarray(padded), -3, trash, **kwargs)
+
+    np.testing.assert_allclose(np.asarray(got.k), np.asarray(want.k), rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(want.pos))
+    np.testing.assert_array_equal(np.asarray(got.seq), np.asarray(want.seq))
+
+
+def test_ranged_shift_neox_and_drop():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pipeinfer_tpu.runtime import kv_cache as kv
+
+    rng = np.random.default_rng(6)
+    L, C, H, D = 2, 16, 2, 8
+    cache = kv.KVCache(
+        k=jnp.asarray(rng.standard_normal((L, H, C, D)), jnp.float32),
+        v=jnp.asarray(rng.standard_normal((L, H, C, D)), jnp.float32),
+        pos=jnp.asarray(np.r_[np.arange(10), np.full(6, -1)], jnp.int32),
+        seq=jnp.zeros((C, kv.SEQ_WORDS), jnp.uint32).at[:10, 0].set(1),
+    )
+    kwargs = dict(rope_dims=D, rope_mode="neox", freq_base=10000.0, freq_scale=1.0)
+    want = kv.seq_shift(cache, 0, 0, 4, -2, **kwargs)  # pos 0,1 drop below zero
+    cells = np.arange(4)
+    padded = np.full(8, C - 1, np.int32)
+    padded[:4] = cells
+    got = kv.shift_cells(cache, jnp.asarray(padded), -2, C - 1, **kwargs)
+    np.testing.assert_allclose(np.asarray(got.k), np.asarray(want.k), rtol=2e-6, atol=2e-6)
+    np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(want.pos))
+    np.testing.assert_array_equal(np.asarray(got.seq), np.asarray(want.seq))

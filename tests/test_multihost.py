@@ -4,6 +4,7 @@ sharded computation — the launch topology the reference gets from mpirun
 (which it never tests; SURVEY §4 flags the gap)."""
 
 import os
+from pathlib import Path
 import subprocess
 import sys
 import textwrap
@@ -60,6 +61,8 @@ def test_two_process_global_mesh(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # the worker script lives in tmp_path: put the repo on its path
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), str(port)],
@@ -137,6 +140,8 @@ def test_two_process_pipefused_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER_PIPE)
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    # the worker script lives in tmp_path: put the repo on its path
+    env["PYTHONPATH"] = str(Path(__file__).resolve().parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(pid), str(port), str(model)],
