@@ -1,21 +1,26 @@
-"""End-to-end benchmark: asynchronous PipeInfer speculation vs plain decode.
+"""End-to-end benchmark: asynchronous PipeInfer speculation vs the best
+non-speculative sequential decode of the same target model on this chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-value   = PipeInfer decode tokens/s on this chip
-vs_baseline = speedup over the non-speculative decode of the SAME target
-              model on the same chip (the reference's Sequential baseline,
-              ref: plot.py comparison matrix).
+value       = PipeInfer decode tokens/s
+vs_baseline = speedup over sequential decode of the SAME target (the
+              reference's Sequential baseline, ref: plot.py comparison
+              matrix). The baseline is device-resident (a lax.scan greedy
+              chain, one dispatch per 32 tokens), i.e. NOT handicapped by
+              host dispatch latency — the honest TPU sequential number.
 
-Workload: a synthetic Q4_K llama target whose upper layers are
-near-identity residuals on top of a copied lower stack; the draft model is
-that lower stack. This yields a draft that is genuinely ~4x cheaper with a
-realistically high (but sub-100%) acceptance rate — emulating the
-Dolphin-70B + TinyLlama pairing of the paper without shipping weights.
-All other machinery (quant kernels, KV rollback, cancellation, chaining)
-is exactly the production path. Diagnostics go to stderr.
+Default workload: a 7B-shaped Q4_K llama target (llama-2 7B dims exactly)
+with a lower-stack draft at the TinyLlama cost ratio — the BASELINE.md
+primary config in shape-faithful synthetic form (see
+tools/testmodel.build_bench_pair). eps=0 gives a bit-exact draft; --eps>0
+degrades acceptance and exercises cancellation.
 
-Usage: python bench.py [--quick] [--n-predict N]
+Also reported (stderr): effective HBM bandwidth and % of the chip's
+roofline for the baseline step, model FLOPs utilization, acceptance over
+decided drafts, and the dead-work fraction of canceled speculation.
+
+Usage: python bench.py [--scale 7b|toy] [--quick] [--n-predict N] [--eps E]
 """
 
 from __future__ import annotations
@@ -34,63 +39,89 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# target sizes (~220M params target, ~60M draft; Q4_K) — big enough that
-# compute dominates dispatch on one chip, small enough to build in seconds
-TARGET = dict(n_layers=12, n_embd=1024, n_heads=16, n_kv_heads=8, n_ff=2816, n_vocab=32000)
-DRAFT_LAYERS = 3
-# scale of upper-layer residual contributions; controls draft/target
-# alignment. 0.0 = inert upper layers (full FLOPs, bit-identical logits,
-# max acceptance); raise toward 0.02 to degrade acceptance realistically.
-EPS = 0.0
+CHAIN = 32  # device-resident steps per dispatch (baseline + drafting)
+TOPK = 128  # sparse logits head width
 
 
-def build_models(tmp: Path):
-    from pipeinfer_tpu.gguf.constants import GGMLQuantType
-    from pipeinfer_tpu.tools import testmodel
+# device_kind -> (HBM bytes/s, bf16 FLOP/s); public chip specs
+CHIP_PEAKS = {
+    "TPU v5 lite": (819e9, 197e12),
+    "TPU v5e": (819e9, 197e12),
+    "TPU v5p": (2765e9, 459e12),
+    "TPU v5": (2765e9, 459e12),
+    "TPU v4": (1228e9, 275e12),
+    "TPU v6 lite": (1640e9, 918e12),
+}
 
-    tgt_path = tmp / "bench_target_q4k.gguf"
-    dft_path = tmp / "bench_draft_q4k.gguf"
-    if tgt_path.exists() and dft_path.exists():
-        return tgt_path, dft_path
 
-    t0 = time.time()
-    rng = np.random.default_rng(42)
-    w = testmodel.random_llama_weights(rng, **TARGET)
-    # upper layers: near-identity residual blocks (small output projections)
-    for li in range(DRAFT_LAYERS, TARGET["n_layers"]):
-        w[f"layers.{li}.wo"] *= EPS
-        w[f"layers.{li}.w_down"] *= EPS
+def chip_peaks(dev) -> tuple[float, float] | None:
+    kind = getattr(dev, "device_kind", "")
+    for k, v in CHIP_PEAKS.items():
+        if kind.startswith(k):
+            return v
+    return None
 
-    testmodel.write_llama_gguf(tgt_path, w, qtype=GGMLQuantType.Q4_K, **TARGET)
 
-    dw = {k: v for k, v in w.items() if not k.startswith("layers.")}
-    for li in range(DRAFT_LAYERS):
-        for slot in ("attn_norm", "wq", "wk", "wv", "wo", "ffn_norm", "w_gate", "w_up", "w_down"):
-            dw[f"layers.{li}.{slot}"] = w[f"layers.{li}.{slot}"]
-    dcfg = dict(TARGET, n_layers=DRAFT_LAYERS)
-    testmodel.write_llama_gguf(dft_path, dw, qtype=GGMLQuantType.Q4_K, **dcfg)
-    log(f"built models in {time.time() - t0:.1f}s")
-    return tgt_path, dft_path
+def model_stream_bytes(params) -> int:
+    """Bytes read from HBM per decode step: every weight except the
+    embedding gather (rows only) — the weight-streaming floor."""
+    from pipeinfer_tpu.ops.qmatmul import QuantTensor
+
+    total = 0
+
+    def leafbytes(x):
+        return x.nbytes() if isinstance(x, QuantTensor) else getattr(x, "nbytes", 0)
+
+    for k, v in params.items():
+        if k == "tok_embd":
+            continue
+        if k == "layers":
+            for lp in v:
+                for w in lp.values():
+                    total += leafbytes(w)
+        else:
+            total += leafbytes(v)
+    return total
+
+
+def cache_bytes(cache) -> int:
+    import jax
+
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(cache))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="fewer tokens")
+    ap.add_argument("--scale", choices=("7b", "toy"), default="7b")
+    ap.add_argument("--quick", action="store_true", help="toy scale, fewer tokens")
     ap.add_argument("--n-predict", type=int, default=0)
+    ap.add_argument("--eps", type=float, default=0.0,
+                    help="upper-layer residual scale: 0 = bit-exact draft")
     args = ap.parse_args()
-    n_predict = args.n_predict or (32 if args.quick else 128)
+    if args.quick:
+        args.scale = "toy"
+    n_predict = args.n_predict or (64 if args.quick else 256)
+
+    from pipeinfer_tpu.utils import compile_cache
+
+    cache_dir = compile_cache.enable()
+    log(f"compilation cache: {cache_dir}")
 
     import jax
 
-    log(f"device: {jax.devices()[0]} ({jax.devices()[0].platform})")
-    # warm the compile service with a trivial program (first nontrivial
-    # compile on the axon backend can take minutes; see verify skill notes)
-    import jax.numpy as jnp
+    dev = jax.devices()[0]
+    log(f"device: {dev} ({dev.platform}, {getattr(dev, 'device_kind', '?')})")
 
-    (jnp.ones((128, 128)) * 2).block_until_ready()
+    from pipeinfer_tpu.tools import testmodel
 
     tmp = Path(tempfile.gettempdir())
-    tgt_path, dft_path = build_models(tmp)
+    tag = f"{args.scale}_e{args.eps:g}"
+    tgt_path = tmp / f"bench_{tag}_tgt.gguf"
+    dft_path = tmp / f"bench_{tag}_dft.gguf"
+    if not (tgt_path.exists() and dft_path.exists()):
+        testmodel.build_bench_pair(
+            tgt_path, dft_path, scale=args.scale, eps=args.eps, log=log
+        )
 
     from pipeinfer_tpu.models import load_model
     from pipeinfer_tpu.runtime.context import Batch, InferenceContext
@@ -101,84 +132,127 @@ def main():
     t0 = time.time()
     tparams, tcfg = load_model(tgt_path)
     dparams, dcfg = load_model(dft_path)
-    log(f"loaded models in {time.time() - t0:.1f}s")
+    log(f"loaded models in {time.time() - t0:.1f}s "
+        f"({tcfg.n_layers}L target, {dcfg.n_layers}L draft)")
 
     prompt = [1] + list(rng_tokens(24))
-    n_cells = 2 * (len(prompt) + n_predict) + 512
+    n_cells = len(prompt) + n_predict + 8 * CHAIN + 64
 
-    # ---- baseline: plain greedy decode --------------------------------
-    ctx = InferenceContext(tparams, tcfg, n_cells=n_cells)
-    sampler = SamplerState(params=SamplingParams(temp=0.0))
+    ctx_t = InferenceContext(tparams, tcfg, n_cells=n_cells)
+    ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
+
+    # ---- parallel warm-compile of every program variant ----------------
+    t0 = time.time()
+    errs = ctx_t.precompile(
+        buckets=(1, 8, 32), topk=TOPK, chain_depths=(CHAIN,), seq_groups=(1,),
+        max_workers=4, log=log,
+    )
+    errs += ctx_d.precompile(
+        buckets=(32,), topk=None, chain_depths=(CHAIN,), seq_groups=(1,),
+        max_workers=4, log=log,
+    )
+    bad = [e for _, e in errs if e is not None]
+    if bad:
+        log(f"warmup errors: {bad}")
+    t_compile = time.time() - t0
+    log(f"warm-compiled all variants in {t_compile:.1f}s")
+
+    # ---- baseline: device-resident sequential greedy decode ------------
     b = Batch()
     for i, t in enumerate(prompt):
         b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
-    TOPK = 64
     t0 = time.time()
-    logits = ctx.decode(b, TOPK)[-1]
-    log(f"baseline prefill+compile {time.time() - t0:.1f}s")
-    # warmup decode step (own bucket compile)
-    n_past = len(prompt)
-    warm = 4
-    for i in range(warm):
-        tok = sample(sampler, logits)
-        sampler.accept(tok)
-        b.clear()
-        b.add(tok, n_past, 0)
-        logits = ctx.decode(b, TOPK)[0]
-        n_past += 1
-    t0 = time.time()
-    base_tokens = []
-    for i in range(n_predict):
-        tok = sample(sampler, logits)
-        sampler.accept(tok)
-        base_tokens.append(tok)
-        b.clear()
-        b.add(tok, n_past, 0)
-        logits = ctx.decode(b, TOPK)[0]
-        n_past += 1
-    base_dt = time.time() - t0
-    base_tps = n_predict / base_dt
-    log(f"baseline decode: {base_tps:.2f} tok/s ({base_dt:.1f}s)")
+    logits = ctx_t.decode(b, TOPK)[-1]
+    t_prefill = time.time() - t0
+    log(f"prefill {len(prompt)} tokens in {t_prefill:.2f}s")
 
-    # ---- PipeInfer async speculation ----------------------------------
-    ctx_t = InferenceContext(tparams, tcfg, n_cells=n_cells)
-    ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
-    # p_accept=0: random-weight drafts have flat softmax probs, the
-    # top-prob gate would stop drafting immediately (real models pass 0.1+).
-    # n_draft=32 is deeper than the reference's CPU guidance (<=8): on TPU
-    # the decode bottleneck is dispatch+fetch latency, so long on-device
-    # draft chains amortize round trips (swept: 12->127 t/s, 32->~200 t/s)
-    sp = SpecParams(n_draft=32, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=4)
-    c = PipeInferController(ctx_t, ctx_d, SamplingParams(temp=0.0), sp, eos_id=-1)
-    # warmup generation compiles every bucket/shape the controller uses
-    # (jitted steps are shared across contexts, so the fresh measurement
-    # controller below runs fully warm)
-    warm_out = c.generate(list(prompt), n_predict)
-    del warm_out
-    c2 = PipeInferController(
+    # pure greedy: no repetition penalties — the device-resident chains
+    # draft with plain argmax, and verification must sample the SAME
+    # distribution or every drafted token mismatches
+    GREEDY = SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0)
+    sampler = SamplerState(params=GREEDY)
+    cur = sample(sampler, logits)
+    base_tokens = [cur]
+    n_past = len(prompt)
+    # one warm chain dispatch (first real execution of the warmed program)
+    toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN)
+    n_past += CHAIN
+    base_tokens.extend(toks)
+    cur = toks[-1]
+
+    t0 = time.time()
+    n_done = 0
+    while n_done < n_predict:
+        toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN)
+        n_past += CHAIN
+        base_tokens.extend(toks)
+        cur = toks[-1]
+        n_done += CHAIN
+    base_dt = time.time() - t0
+    base_tps = n_done / base_dt
+    ms_tok = 1e3 * base_dt / n_done
+
+    stream_b = model_stream_bytes(tparams) + cache_bytes(ctx_t.cache)
+    eff_bw = stream_b * n_done / base_dt
+    n_params = 2 * 32000 * tcfg.n_embd + tcfg.n_layers * (
+        4 * tcfg.n_embd * tcfg.n_embd * (tcfg.n_kv_heads / tcfg.n_heads * 0 + 1)
+    )
+    # FLOPs/token ~= 2 * weight elements actually multiplied
+    flops_tok = 2 * sum(
+        int(np.prod(w.shape))
+        for lp in tparams["layers"]
+        for w in lp.values()
+        if hasattr(w, "shape") and len(getattr(w, "shape", ())) == 2
+    ) + 2 * int(np.prod(tparams["output"].shape))
+    del n_params
+    peaks = chip_peaks(dev)
+    if peaks:
+        bw_peak, flops_peak = peaks
+        log(
+            f"baseline decode: {base_tps:.2f} tok/s ({ms_tok:.2f} ms/tok) | "
+            f"streams {stream_b / 1e9:.2f} GB/step -> {eff_bw / 1e9:.0f} GB/s "
+            f"effective = {100 * eff_bw / bw_peak:.0f}% of HBM roofline | "
+            f"MFU {100 * flops_tok * base_tps / flops_peak:.2f}%"
+        )
+    else:
+        log(f"baseline decode: {base_tps:.2f} tok/s ({ms_tok:.2f} ms/tok)")
+
+    # ---- PipeInfer async speculation -----------------------------------
+    # p_accept=0: random-weight drafts have flat softmax; the top-prob gate
+    # would stop drafting immediately (real models pass 0.1+). Deep chains
+    # amortize the host-dispatch RTT (the tunnel adds ~30ms per round trip)
+    sp = SpecParams(n_draft=CHAIN, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=4)
+    ctx_t2 = InferenceContext(tparams, tcfg, n_cells=n_cells)
+    ctx_d2 = InferenceContext(dparams, dcfg, n_cells=n_cells)
+    c_warm = PipeInferController(ctx_t2, ctx_d2, GREEDY, sp, eos_id=-1)
+    warm_n = min(n_predict, 3 * CHAIN)
+    c_warm.generate(list(prompt), warm_n)  # touch any remaining variants
+
+    c = PipeInferController(
         InferenceContext(tparams, tcfg, n_cells=n_cells),
         InferenceContext(dparams, dcfg, n_cells=n_cells),
-        SamplingParams(temp=0.0),
+        GREEDY,
         sp,
         eos_id=-1,
     )
     t0 = time.time()
-    spec_tokens = c2.generate(list(prompt), n_predict + warm)
+    spec_tokens = c.generate(list(prompt), n_predict)
     spec_dt = time.time() - t0
     spec_tps = len(spec_tokens) / spec_dt
-    acc = c2.stats.accept_rate
+    st, m = c.stats, c.metrics
     log(
         f"pipeinfer decode: {spec_tps:.2f} tok/s ({spec_dt:.1f}s), "
-        f"accept {100 * acc:.1f}% ({c2.stats.n_accept}/{c2.stats.n_drafted}), "
-        f"runs {c2.metrics.n_runs} ({c2.metrics.n_canceled_runs} canceled), "
-        f"ttft {c2.metrics.ttft_s * 1e3:.0f}ms"
+        f"accept {100 * st.accept_rate:.1f}% ({st.n_accept}/{st.n_drafted}), "
+        f"decided accept {100 * st.accept_rate_decided:.1f}% "
+        f"({st.n_drafted_unverified} unverified), "
+        f"runs {m.n_runs} ({m.n_canceled_runs} canceled), "
+        f"dead work {100 * m.dead_work_frac:.1f}%, "
+        f"ttft {m.ttft_s * 1e3:.0f}ms, itl p50 {np.median(m.inter_token_s) * 1e3 if m.inter_token_s else 0:.1f}ms"
     )
-    # correctness cross-check: speculative output must extend/equal baseline
-    base_all = base_tokens
-    match = spec_tokens[warm : warm + min(len(base_all), len(spec_tokens) - warm)] == base_all[
-        : len(spec_tokens) - warm
-    ]
-    if not match:
+
+    # correctness cross-check: greedy speculative output must match baseline
+    k = min(len(base_tokens), len(spec_tokens))
+    if spec_tokens[:k] != base_tokens[:k]:
         log("WARNING: speculative tokens diverge from baseline (greedy)")
 
     print(

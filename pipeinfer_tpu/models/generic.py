@@ -34,6 +34,90 @@ def _norm(x, w, b, cfg: ModelConfig):
     return L.layer_norm(x, w, b, cfg.norm_eps)
 
 
+def layer_step(
+    h,
+    lp,
+    li,
+    cfg: ModelConfig,
+    cache: kv.KVCache,
+    cell_idx,
+    mask,
+    pos,
+    seq,
+    valid,
+    rope_kw,
+    slopes,
+    tp_axis: str | None = None,
+):
+    """One decoder layer on hidden h [T, E] — the trait-driven body shared
+    by the single-chip forward, the staged pipeline, and the TP shard_map
+    path.
+
+    TP scheme (tp_axis set, cfg shard-LOCAL — heads divided by tp): every
+    weight is sharded along its OUTPUT dim, so packed-quant shards stay
+    block-aligned for the fused kernel (a Megatron row-parallel split would
+    cut Q*_K super-blocks mid-row). Projections run on local shards;
+    activations are re-assembled with tiled all-gathers over ICI. At decode
+    batch sizes the gathered activations are a few KB — weight streaming
+    dominates — while weights and KV stay sharded in HBM (the BASELINE
+    north star)."""
+    t = h.shape[0]
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+
+    attn_norm_out = _norm(h, lp["attn_norm"], lp.get("attn_norm_b"), cfg)
+    if "attn_norm_2" in lp:  # falcon-40B: separate norm feeds attention
+        a = _norm(h, lp["attn_norm_2"], lp.get("attn_norm_2_b"), cfg)
+    else:
+        a = attn_norm_out
+
+    if "wqkv" in lp:
+        qkv = linear(a, lp["wqkv"], lp.get("bqkv"))
+        if cfg.clamp_kqv > 0:
+            qkv = jnp.clip(qkv, -cfg.clamp_kqv, cfg.clamp_kqv)
+        n_embd_local = cfg.n_heads * cfg.head_dim
+        q = qkv[:, :n_embd_local]
+        k = qkv[:, n_embd_local : n_embd_local + kv_dim]
+        v = qkv[:, n_embd_local + kv_dim : n_embd_local + 2 * kv_dim]
+    else:
+        q = linear(a, lp["wq"], lp.get("bq"))
+        k = linear(a, lp["wk"], lp.get("bk"))
+        v = linear(a, lp["wv"], lp.get("bv"))
+    q = q.reshape(t, cfg.n_heads, cfg.head_dim)
+    k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
+    v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
+
+    if "q_norm" in lp:  # persimmon Q/K layernorm
+        q = L.layer_norm(q, lp["q_norm"], lp.get("q_norm_b"), cfg.norm_eps)
+        k = L.layer_norm(k, lp["k_norm"], lp.get("k_norm_b"), cfg.norm_eps)
+
+    if cfg.rope_mode != "none":
+        q = L.apply_rope(q, pos, cfg.rope_dims, **rope_kw)
+        k = L.apply_rope(k, pos, cfg.rope_dims, **rope_kw)
+
+    cache = kv.write_tokens(cache, li, cell_idx, k, v)
+    attn = kv.attend(
+        q, cache, li, mask, pos, seq, valid, scale=cfg.attn_scale, alibi=slopes
+    )
+    attn_flat = attn.reshape(t, cfg.n_heads * cfg.head_dim)
+    if tp_axis is not None:
+        # heads are shard-local; wo is output-sharded — gather the full
+        # attention activation, project locally, gather the projection
+        attn_flat = jax.lax.all_gather(attn_flat, tp_axis, axis=1, tiled=True)
+    attn_out = linear(attn_flat, lp["wo"], lp.get("bo"))
+    if tp_axis is not None:
+        attn_out = jax.lax.all_gather(attn_out, tp_axis, axis=1, tiled=True)
+
+    if cfg.parallel_residual:
+        # falcon: FFN reads the attention norm output; both add to input
+        ffn_out = _ffn(attn_norm_out, lp, cfg, tp_axis)
+        h = h + attn_out + ffn_out
+    else:
+        h = h + attn_out
+        f_in = _norm(h, lp["ffn_norm"], lp.get("ffn_norm_b"), cfg)
+        h = h + _ffn(f_in, lp, cfg, tp_axis)
+    return h, cache
+
+
 def forward(
     params,
     cfg: ModelConfig,
@@ -70,53 +154,10 @@ def forward(
         yarn_beta_slow=cfg.yarn_beta_slow,
         n_orig_ctx=cfg.n_ctx_orig or cfg.n_ctx_train,
     )
-    kv_dim = cfg.n_kv_heads * cfg.head_dim
-
     for li, lp in enumerate(params["layers"]):
-        attn_norm_out = _norm(h, lp["attn_norm"], lp.get("attn_norm_b"), cfg)
-        if "attn_norm_2" in lp:  # falcon-40B: separate norm feeds attention
-            a = _norm(h, lp["attn_norm_2"], lp.get("attn_norm_2_b"), cfg)
-        else:
-            a = attn_norm_out
-
-        if "wqkv" in lp:
-            qkv = linear(a, lp["wqkv"], lp.get("bqkv"))
-            if cfg.clamp_kqv > 0:
-                qkv = jnp.clip(qkv, -cfg.clamp_kqv, cfg.clamp_kqv)
-            q = qkv[:, : cfg.n_embd]
-            k = qkv[:, cfg.n_embd : cfg.n_embd + kv_dim]
-            v = qkv[:, cfg.n_embd + kv_dim : cfg.n_embd + 2 * kv_dim]
-        else:
-            q = linear(a, lp["wq"], lp.get("bq"))
-            k = linear(a, lp["wk"], lp.get("bk"))
-            v = linear(a, lp["wv"], lp.get("bv"))
-        q = q.reshape(t, cfg.n_heads, cfg.head_dim)
-        k = k.reshape(t, cfg.n_kv_heads, cfg.head_dim)
-        v = v.reshape(t, cfg.n_kv_heads, cfg.head_dim)
-
-        if "q_norm" in lp:  # persimmon Q/K layernorm
-            q = L.layer_norm(q, lp["q_norm"], lp.get("q_norm_b"), cfg.norm_eps)
-            k = L.layer_norm(k, lp["k_norm"], lp.get("k_norm_b"), cfg.norm_eps)
-
-        if cfg.rope_mode != "none":
-            q = L.apply_rope(q, pos, cfg.rope_dims, **rope_kw)
-            k = L.apply_rope(k, pos, cfg.rope_dims, **rope_kw)
-
-        cache = kv.write_tokens(cache, li, cell_idx, k, v)
-        attn = kv.attend(
-            q, cache, li, mask, pos, seq, valid, scale=cfg.attn_scale, alibi=slopes
+        h, cache = layer_step(
+            h, lp, li, cfg, cache, cell_idx, mask, pos, seq, valid, rope_kw, slopes
         )
-        attn_out = linear(attn.reshape(t, cfg.n_heads * cfg.head_dim), lp["wo"], lp.get("bo"))
-
-        if cfg.parallel_residual:
-            # falcon: FFN reads the attention norm output; both add to input
-            f_in = attn_norm_out
-            ffn_out = _ffn(f_in, lp, cfg)
-            h = h + attn_out + ffn_out
-        else:
-            h = h + attn_out
-            f_in = _norm(h, lp["ffn_norm"], lp.get("ffn_norm_b"), cfg)
-            h = h + _ffn(f_in, lp, cfg)
 
     out = _norm(h, params["output_norm"], params.get("output_norm_b"), cfg)
     if output_hidden:
@@ -125,9 +166,11 @@ def forward(
     return logits.astype(jnp.float32), cache
 
 
-def _ffn(x, lp, cfg: ModelConfig):
+def _ffn(x, lp, cfg: ModelConfig, tp_axis: str | None = None):
     """ref: llm_build_ffn (llama.cpp:3637-3700) — gated SiLU, GELU-seq, or
-    relu-squared (persimmon LLM_FFN_RELU_SQR)."""
+    relu-squared (persimmon LLM_FFN_RELU_SQR). Under TP, gate/up/down are
+    all output-sharded: the ffn intermediate is gathered before w_down and
+    the result gathered after (see layer_step docstring)."""
     up = linear(x, lp["w_up"], lp.get("b_up"))
     if "w_gate" in lp:
         gate = L.silu(linear(x, lp["w_gate"], lp.get("b_gate")))
@@ -137,4 +180,9 @@ def _ffn(x, lp, cfg: ModelConfig):
         mid = (r * r).astype(up.dtype)
     else:
         mid = jax.nn.gelu(up.astype(jnp.float32), approximate=False).astype(up.dtype)
-    return linear(mid, lp["w_down"], lp.get("b_down"))
+    if tp_axis is not None:
+        mid = jax.lax.all_gather(mid, tp_axis, axis=1, tiled=True)
+    out = linear(mid, lp["w_down"], lp.get("b_down"))
+    if tp_axis is not None:
+        out = jax.lax.all_gather(out, tp_axis, axis=1, tiled=True)
+    return out

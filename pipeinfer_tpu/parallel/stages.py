@@ -51,6 +51,9 @@ class StagedInferenceContext:
     Exposes the same decode/seq-op surface the speculation controller uses,
     so PipeInfer runs unchanged over 1..N devices."""
 
+    FIRST_STAGE_GLOBALS = ("tok_embd", "tok_norm", "tok_norm_b", "pos_embd")
+    LAST_STAGE_GLOBALS = ("output_norm", "output_norm_b", "output")
+
     def __init__(
         self,
         params,
@@ -60,32 +63,57 @@ class StagedInferenceContext:
         devices: Sequence | None = None,
         split: Sequence[float] | None = None,
         cache_dtype=jnp.bfloat16,
+        tp: int = 1,
     ):
-        if cfg.arch != "llama":
-            raise NotImplementedError("staged pipeline currently drives the llama family")
+        """devices: one device per stage, or a flat list grouped into
+        per-stage TP sub-meshes of size `tp` (weights tensor-sharded
+        WITHIN each pipeline stage — SURVEY §2.3 TP row; llama-family
+        split-qkv weights only when tp > 1)."""
         self.cfg = cfg
         self.n_cells = n_cells
         devices = list(devices) if devices else [jax.devices()[0]]
-        self.devices = devices
-        n_stages = len(devices)
+        self.tp = tp
+        if tp > 1:
+            assert len(devices) % tp == 0, (len(devices), tp)
+            groups = [devices[i : i + tp] for i in range(0, len(devices), tp)]
+        else:
+            groups = [[d] for d in devices]
+        self.groups = groups
+        self.devices = [g[0] for g in groups]
+        n_stages = len(groups)
         split = split or [1.0 / n_stages] * n_stages
         self.ranges = split_ranges(cfg.n_layers, split)
+        self.local_cfg = staged.local_cfg(cfg, tp)
 
+        from . import tp as tpmod
+
+        self.meshes = [tpmod.tp_mesh(g) if tp > 1 else None for g in groups]
         self.stage_params = []
-        for dev, (lo, hi) in zip(devices, self.ranges):
+        self.stage_specs = []
+        for gi, (g, (lo, hi)) in enumerate(zip(groups, self.ranges)):
             sp = {"layers": params["layers"][lo:hi]}
             if lo == 0:
-                sp["tok_embd"] = params["tok_embd"]
+                for key in self.FIRST_STAGE_GLOBALS:
+                    if key in params:
+                        sp[key] = params[key]
             if hi == cfg.n_layers:
-                sp["output_norm"] = params["output_norm"]
-                sp["output"] = params["output"]
-            self.stage_params.append(jax.device_put(sp, dev))
-        self.caches = [
-            jax.device_put(
-                kv.create(hi - lo, n_cells, cfg.n_kv_heads, cfg.head_dim, cache_dtype), dev
-            )
-            for dev, (lo, hi) in zip(devices, self.ranges)
-        ]
+                for key in self.LAST_STAGE_GLOBALS:
+                    if key in params:
+                        sp[key] = params[key]
+            if tp > 1:
+                sharded, specs = tpmod.shard_params(sp, cfg, self.meshes[gi])
+                self.stage_params.append(sharded)
+                self.stage_specs.append(specs)
+            else:
+                self.stage_params.append(jax.device_put(sp, g[0]))
+                self.stage_specs.append(None)
+        self.caches = []
+        for gi, (g, (lo, hi)) in enumerate(zip(groups, self.ranges)):
+            c = kv.create(hi - lo, n_cells, cfg.n_kv_heads, cfg.head_dim, cache_dtype)
+            if tp > 1:
+                self.caches.append(tpmod.shard_cache(c, self.meshes[gi]))
+            else:
+                self.caches.append(jax.device_put(c, g[0]))
 
         self.h_pos = np.full(n_cells, -1, np.int64)
         self.h_seq = np.zeros(n_cells, np.uint64)
@@ -99,7 +127,14 @@ class StagedInferenceContext:
 
     def _stage_fn(self, si: int, topk) -> Callable:
         first = si == 0
-        last = si == len(self.devices) - 1
+        last = si == len(self.groups) - 1
+        if self.tp > 1:
+            from . import tp as tpmod
+
+            return _staged_step_tp(
+                self.cfg, first, last, topk if last else None,
+                self.meshes[si], tpmod._freeze(self.stage_specs[si]),
+            )
         return _staged_step(self.cfg, first, last, topk if last else None)
 
     # -- decode --------------------------------------------------------------
@@ -134,9 +169,18 @@ class StagedInferenceContext:
         self.h_seq[cells] = mask64
 
         x = tokens
-        for si, dev in enumerate(self.devices):
+        for si in range(len(self.groups)):
             if si > 0:
-                x = jax.device_put(x, dev)  # ICI hop, async
+                # ICI hop, async: replicate the boundary activation onto the
+                # next stage's device (or TP sub-mesh)
+                if self.meshes[si] is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    x = jax.device_put(
+                        x, NamedSharding(self.meshes[si], P(*([None] * x.ndim)))
+                    )
+                else:
+                    x = jax.device_put(x, self.devices[si])
             fn = self._stage_fn(si, topk)
             x, self.caches[si] = fn(
                 self.stage_params[si], self.caches[si], x, pos, seq, cell_idx, valid, seq_bits
@@ -239,6 +283,37 @@ def _staged_step(cfg, first, last, topk):
         )
 
     return step
+
+
+@functools.lru_cache(maxsize=None)
+def _staged_step_tp(cfg, first, last, topk, mesh, specs_key):
+    """TP-inside-a-stage step: shard_map over the stage's sub-mesh."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from . import tp as tpmod
+
+    specs_struct, specs_leaves = specs_key
+    specs = jax.tree_util.tree_unflatten(specs_struct, list(specs_leaves))
+    lcfg = staged.local_cfg(cfg, mesh.shape["model"])
+
+    def inner(sp, cache, x, pos, seq, cell_idx, valid, seq_bits):
+        p = tpmod.unstack_local(sp, specs)
+        return staged.stage_forward(
+            p, lcfg, cache, x, pos, seq, cell_idx, valid, seq_bits,
+            first=first, last=last, topk=topk, tp_axis="model",
+        )
+
+    rep = P(None)
+    x_spec = rep if first else P(None, None)
+    fn = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, tpmod.cache_spec(), x_spec, rep, rep, rep, rep, P(None, None)),
+        out_specs=(P(None, None), tpmod.cache_spec()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(1,))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))

@@ -1,0 +1,238 @@
+"""Tensor parallelism for quantized weights: shard-stacked params + the
+shard_map step builders used by InferenceContext(mesh=...) and the staged
+pipeline's per-stage sub-meshes.
+
+The BASELINE north star — "weights live tensor-sharded in HBM" — for the
+ASYNC topology (ref: SURVEY §2.3 TP row). Scheme: every 2-D weight is
+sharded along its OUTPUT dimension (whole quantized rows), so packed Q*_K
+planes split without requantization and stay block-aligned for the fused
+Pallas kernel; activations are reassembled with tiled all-gathers (a few
+KB at decode batch sizes — negligible next to weight streaming). KV cache
+K/V shard over heads; cell metadata (pos/seq bitmask) is replicated so all
+sequence ops stay identical to the single-chip path.
+
+Params are stored SHARD-STACKED: each sharded leaf gains a leading [tp]
+axis placed on the mesh 'model' axis; inside shard_map each device squeezes
+its [1, ...] slice. This keeps each shard's QuantTensor self-consistent
+(its static shape IS the local shape) — no kernel changes needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..models import staged
+from ..ops.qmatmul import QuantTensor
+from ..runtime import kv_cache as kv
+
+# slots sharded along their output dim (plus their biases)
+_SHARD_W = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "output"}
+_SHARD_B = {"bq", "bk", "bv", "bo", "b_gate", "b_up", "b_down"}
+_TP_UNSUPPORTED = {"wqkv", "bqkv"}  # fused qkv interleaves heads across N
+
+
+def tp_mesh(devices: Sequence) -> Mesh:
+    return Mesh(np.asarray(list(devices)), axis_names=("model",))
+
+
+def _stack_qt(qt: QuantTensor, tp: int) -> QuantTensor:
+    """[rows, N] k_major planes -> [tp, rows, N/tp] (whole-row shards)."""
+    n, k = qt.shape
+    assert n % tp == 0, f"output dim {n} not divisible by tp={tp}"
+
+    def stk(plane):
+        if plane is None:
+            return None
+        return jnp.stack(jnp.split(plane, tp, axis=1))
+
+    return QuantTensor(
+        qs=stk(qt.qs), qh=stk(qt.qh), scales=stk(qt.scales), bias=stk(qt.bias),
+        qtype=qt.qtype, shape=(n // tp, k), layout=qt.layout,
+    )
+
+
+def _stack_dense(w: jax.Array, tp: int) -> jax.Array:
+    """[N, K] dense or [N] bias -> [tp, N/tp, ...]."""
+    return jnp.stack(jnp.split(w, tp, axis=0))
+
+
+def _shard_leaf(slot: str, w, tp: int):
+    """Returns (stacked_value, is_sharded)."""
+    if slot in _TP_UNSUPPORTED:
+        raise NotImplementedError(
+            f"tensor-parallel sharding of fused {slot} is unsupported "
+            "(head-interleaved output dim); llama-family split weights only"
+        )
+    if slot in _SHARD_W:
+        if isinstance(w, QuantTensor):
+            if w.layout != "k_major":
+                raise NotImplementedError("TP expects k_major matmul weights")
+            return _stack_qt(w, tp), True
+        return _stack_dense(w, tp), True
+    if slot in _SHARD_B:
+        return _stack_dense(w, tp), True
+    return w, False
+
+
+def shard_params(params, cfg: ModelConfig, mesh: Mesh):
+    """Shard a loaded params pytree over mesh axis 'model'.
+
+    Returns (stacked_params, specs) where specs is a matching pytree of
+    PartitionSpecs (the shard_map in_specs / the squeeze guide)."""
+    tp = mesh.shape["model"]
+
+    def handle(slot, w):
+        sv, sharded = _shard_leaf(slot, w, tp)
+        spec = _lead_spec(sv) if sharded else _rep_spec(sv)
+        placed = jax.device_put(
+            sv, jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), spec)
+        )
+        return placed, spec
+
+    out, specs = {}, {}
+    for key, v in params.items():
+        if key == "layers":
+            out["layers"], specs["layers"] = [], []
+            for lp in v:
+                olp, slp = {}, {}
+                for slot, w in lp.items():
+                    olp[slot], slp[slot] = handle(slot, w)
+                out["layers"].append(olp)
+                specs["layers"].append(slp)
+        else:
+            out[key], specs[key] = handle(key, v)
+    return out, specs
+
+
+def _lead_spec(v):
+    """Spec tree: leading axis on 'model' for every leaf."""
+    return jax.tree_util.tree_map(
+        lambda leaf: P("model", *([None] * (leaf.ndim - 1))), v
+    )
+
+
+def _rep_spec(v):
+    return jax.tree_util.tree_map(lambda leaf: P(*([None] * leaf.ndim)), v)
+
+
+def unstack_local(params, specs):
+    """Inside shard_map: drop the local [1, ...] shard axis of sharded
+    leaves (spec leads with 'model')."""
+    return jax.tree_util.tree_map(
+        lambda v, s: v[0] if (len(s) > 0 and s[0] == "model") else v,
+        params,
+        specs,
+    )
+
+
+# -- sharded KV cache --------------------------------------------------------
+
+
+def cache_spec() -> kv.KVCache:
+    """PartitionSpec tree for a KVCache: K/V head-sharded, metadata
+    replicated."""
+    return kv.KVCache(
+        k=P(None, "model", None, None),
+        v=P(None, "model", None, None),
+        pos=P(None),
+        seq=P(None, None),
+    )
+
+
+def shard_cache(cache: kv.KVCache, mesh: Mesh) -> kv.KVCache:
+    sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), cache_spec())
+    return jax.device_put(cache, sh)
+
+
+# -- step builders -----------------------------------------------------------
+
+
+def _freeze(specs):
+    """Specs tree -> hashable key for the jit caches."""
+    return jax.tree_util.tree_structure(specs), tuple(
+        jax.tree_util.tree_leaves(specs)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs_key, t_pad):
+    del t_pad  # shapes key the inner jit cache; kept for clarity
+    specs_struct, specs_leaves = specs_key
+    specs = jax.tree_util.tree_unflatten(specs_struct, list(specs_leaves))
+    tp = mesh.shape["model"]
+    lcfg = staged.local_cfg(cfg, tp)
+
+    def inner(params, cache, tokens, pos, seq, cell_idx, valid, seq_bits):
+        p = unstack_local(params, specs)
+        return staged.stage_forward(
+            p, lcfg, cache, tokens, pos, seq, cell_idx, valid, seq_bits,
+            first=True, last=True, topk=topk, tp_axis="model",
+        )
+
+    rep = P(None)
+    fn = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, cache_spec(), rep, rep, rep, rep, rep, P(None, None)),
+        out_specs=(P(None, None), cache_spec()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+def build_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs, t_pad: int):
+    return _cached_tp_step(cfg, topk, mesh, _freeze(specs), t_pad)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
+    specs_struct, specs_leaves = specs_key
+    specs = jax.tree_util.tree_unflatten(specs_struct, list(specs_leaves))
+    tp = mesh.shape["model"]
+    lcfg = staged.local_cfg(cfg, tp)
+
+    def inner(params, cache, root_token, pos0, seq_id, cell_idx):
+        p = unstack_local(params, specs)
+
+        def body(carry, i):
+            cache, tok, pos = carry
+            logits, cache = staged.stage_forward(
+                p, lcfg, cache,
+                tok[None], pos[None], seq_id[None], cell_idx[i][None],
+                jnp.ones(1, bool), None,
+                first=True, last=True, topk=None, tp_axis="model",
+            )
+            row = logits[0]
+            lse = jax.scipy.special.logsumexp(row)
+            vals, ids = jax.lax.top_k(row, n_cand)
+            packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
+            return (cache, ids[0], pos + 1), (ids[0], packed)
+
+        (cache, _, _), (toks, packs) = jax.lax.scan(
+            body, (cache, root_token, pos0), jnp.arange(depth)
+        )
+        out = jnp.concatenate([toks.astype(jnp.float32)[:, None], packs], axis=1)
+        return out, cache
+
+    rep = P()
+    fn = shard_map(
+        inner,
+        mesh=mesh,
+        in_specs=(specs, cache_spec(), rep, rep, rep, P(None)),
+        out_specs=(P(None, None), cache_spec()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+def build_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs):
+    return _cached_tp_chain(cfg, depth, n_cand, mesh, _freeze(specs))

@@ -113,14 +113,32 @@ class InferenceContext:
         n_cells: int = 1024,
         forward_fn: Callable | None = None,
         cache_dtype=jnp.bfloat16,
+        mesh=None,
+        device=None,
     ):
+        """mesh: a 1-axis 'model' jax Mesh — weights/KV shard tensor-
+        parallel across it (parallel.tp; BASELINE "weights tensor-sharded
+        in HBM"). device: place this context's params+cache on a specific
+        device (dual-pipeline topologies put draft and target on disjoint
+        devices, ref: speculative.cpp:118-138 comm split)."""
         from ..models.loader import forward_for_arch
 
-        self.params = params
         self.cfg = cfg
         self.n_cells = n_cells
+        self.mesh = mesh
         self._forward = forward_fn or forward_for_arch(cfg.arch)
-        self.cache = kv.create(cfg.n_layers, n_cells, cfg.n_kv_heads, cfg.head_dim, cache_dtype)
+        cache = kv.create(cfg.n_layers, n_cells, cfg.n_kv_heads, cfg.head_dim, cache_dtype)
+        if mesh is not None:
+            from ..parallel import tp
+
+            self.params, self._tp_specs = tp.shard_params(params, cfg, mesh)
+            self.cache = tp.shard_cache(cache, mesh)
+        elif device is not None:
+            self.params = jax.device_put(params, device)
+            self.cache = jax.device_put(cache, device)
+        else:
+            self.params = params
+            self.cache = cache
         # host mirrors for allocation (last cell reserved as padding trash)
         self.h_pos = np.full(n_cells, -1, np.int64)
         self.h_seq = np.zeros(n_cells, np.uint64)
@@ -138,11 +156,19 @@ class InferenceContext:
     # compiled executables instead of re-jitting per instance
 
     def _step_fn(self, t_pad: int, topk: int | None) -> Callable:
+        if self.mesh is not None:
+            from ..parallel import tp
+
+            return tp.build_tp_step(self.cfg, topk, self.mesh, self._tp_specs, t_pad)
         return _shared_step(self._forward, self.cfg, topk)
 
     # -- on-device draft chain ---------------------------------------------
 
     def _chain_fn(self, depth: int, n_cand: int) -> Callable:
+        if self.mesh is not None:
+            from ..parallel import tp
+
+            return tp.build_tp_chain(self.cfg, depth, n_cand, self.mesh, self._tp_specs)
         return _shared_chain(self._forward, self.cfg, depth, n_cand)
     def draft_chain(self, root_token: int, pos0: int, seq_id: int, depth: int, n_cand: int = 8):
         """Draft a greedy chain of `depth` tokens rooted at `root_token`

@@ -370,18 +370,25 @@ class PipeInferController:
             self.sampler.accept(t)
             new_tokens.append(t)
             self._accept_token(t, stream)
-            if self._stopped(n_predict):
-                break
             j += 1
             matches = [
                 s for s in alive if j < len(run.branches[s].tokens) and run.branches[s].tokens[j] == t
             ]
+            if matches:
+                alive = matches
+                s_keep = matches[0]
+                m += 1
+                self.stats.n_accept += 1
+            if self._stopped(n_predict):
+                # drafts beyond the stop point were never judged — count
+                # them as unverified tail, not as rejections
+                if matches:
+                    self.stats.n_drafted_unverified += max(
+                        len(run.branches[s].tokens) for s in alive
+                    ) - j - 1
+                break
             if not matches:
                 break
-            alive = matches
-            s_keep = matches[0]
-            m += 1
-            self.stats.n_accept += 1
             if j >= len(run.branches[s_keep].i_batch_tgt):
                 break  # ran out of drafted logits
 

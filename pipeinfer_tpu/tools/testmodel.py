@@ -131,6 +131,120 @@ def random_llama_weights(
     return w
 
 
+BENCH_SCALES = {
+    # llama-2 7B exact shapes (ref: BASELINE.md 7B+1.1B primary config);
+    # draft = the target's lower stack (5/32 layers ~= the 1.1B/7B cost
+    # ratio of the TinyLlama pairing)
+    "7b": dict(
+        target=dict(n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=32,
+                    n_ff=11008, n_vocab=32000),
+        draft_layers=5,
+    ),
+    # ~220M toy (round-1 bench scale; fast CI-able sanity runs)
+    "toy": dict(
+        target=dict(n_layers=12, n_embd=1024, n_heads=16, n_kv_heads=8,
+                    n_ff=2816, n_vocab=32000),
+        draft_layers=3,
+    ),
+}
+
+
+def build_bench_pair(
+    tgt_path: str | Path,
+    dft_path: str | Path,
+    *,
+    scale: str = "7b",
+    eps: float = 0.0,
+    qtype: GGMLQuantType = GGMLQuantType.Q4_K,
+    seed: int = 42,
+    log=lambda *a: None,
+):
+    """Synthetic benchmark pair at production shapes.
+
+    The target's lower `draft_layers` form the draft model; upper layers
+    are near-identity residual blocks (output projections scaled by `eps`)
+    so eps=0 gives a bit-exact draft (acceptance ~100%) and eps>0 degrades
+    acceptance realistically. Upper layers share ONE template layer's
+    weights — identical content, distinct HBM buffers, so per-step FLOPs
+    and memory traffic are exactly those of a dense model while the host
+    only quantizes ~2 unique layers (7B quantize in ~1 min, not ~30)."""
+    from ..quant.formats import quantize
+
+    sc = BENCH_SCALES[scale]
+    shape = sc["target"]
+    dl = sc["draft_layers"]
+    n_layers = shape["n_layers"]
+    rng = np.random.default_rng(seed)
+    e, ff, v = shape["n_embd"], shape["n_ff"], shape["n_vocab"]
+    kv_dim = shape["n_kv_heads"] * (e // shape["n_heads"])
+
+    def r(*s):
+        return (rng.standard_normal(s, dtype=np.float32) * 0.08)
+
+    def layer_slots():
+        return {
+            "attn_norm": np.ones(e, np.float32),
+            "wq": r(e, e), "wk": r(kv_dim, e), "wv": r(kv_dim, e), "wo": r(e, e),
+            "ffn_norm": np.ones(e, np.float32),
+            "w_gate": r(ff, e), "w_up": r(ff, e), "w_down": r(e, ff),
+        }
+
+    draft_layer = layer_slots()  # shared by ALL lower (draft) layers
+    upper = layer_slots()
+    upper["wo"] = upper["wo"] * eps
+    upper["w_down"] = upper["w_down"] * eps
+    globals_ = {"tok_embd": r(v, e), "output_norm": np.ones(e, np.float32),
+                "output": r(v, e)}
+
+    memo: dict[int, bytes] = {}
+
+    def qbytes(arr):
+        key = id(arr)
+        if key not in memo:
+            qt = qtype if (arr.ndim == 2 and arr.shape[-1] % 256 == 0) else GGMLQuantType.F32
+            memo[key] = (qt, np.asarray(quantize(arr, qt)).tobytes())
+        return memo[key]
+
+    def write(path, layers, cfg_layers):
+        w = GGUFWriter(path, "llama")
+        w.add_arch_kv(Keys.EMBEDDING_LENGTH, e)
+        w.add_arch_kv(Keys.BLOCK_COUNT, cfg_layers)
+        w.add_arch_kv(Keys.HEAD_COUNT, shape["n_heads"])
+        w.add_arch_kv(Keys.HEAD_COUNT_KV, shape["n_kv_heads"])
+        w.add_arch_kv(Keys.FEED_FORWARD_LENGTH, ff)
+        w.add_arch_kv(Keys.CONTEXT_LENGTH, 4096)
+        w.add_arch_kv(Keys.ROPE_DIMENSION_COUNT, e // shape["n_heads"])
+        w.add_arch_kv(Keys.ROPE_FREQ_BASE, 10000.0)
+        w.add_arch_kv(Keys.LAYER_NORM_RMS_EPS, 1e-5)
+        w.add_kv("general.vocab_size", v)
+        slot_suffix = {
+            "attn_norm": "attn_norm.weight", "wq": "attn_q.weight",
+            "wk": "attn_k.weight", "wv": "attn_v.weight", "wo": "attn_output.weight",
+            "ffn_norm": "ffn_norm.weight", "w_gate": "ffn_gate.weight",
+            "w_down": "ffn_down.weight", "w_up": "ffn_up.weight",
+        }
+        for name, arr in globals_.items():
+            gname = {"tok_embd": "token_embd.weight", "output_norm": "output_norm.weight",
+                     "output": "output.weight"}[name]
+            qt, payload = qbytes(arr)
+            w.add_tensor(gname, payload, shape=arr.shape, qtype=qt)
+        for li, lw in enumerate(layers):
+            for slot, arr in lw.items():
+                qt, payload = qbytes(arr)
+                w.add_tensor(f"blk.{li}.{slot_suffix[slot]}", payload,
+                             shape=arr.shape, qtype=qt)
+        w.write()
+
+    import time as _t
+
+    t0 = _t.time()
+    write(tgt_path, [draft_layer] * dl + [upper] * (n_layers - dl), n_layers)
+    write(dft_path, [draft_layer] * dl, dl)
+    log(f"built {scale} bench pair in {_t.time() - t0:.1f}s "
+        f"(eps={eps}, {n_layers}L target / {dl}L draft)")
+    return Path(tgt_path), Path(dft_path)
+
+
 def build_tiny_llama(
     path: str | Path,
     *,
