@@ -141,17 +141,23 @@ class SyncSpeculator:
             logits = tgt.decode(batch_tgt)
 
             # verify
+            # verify the round to its NATURAL end (mismatch or drafts
+            # exhausted) — the reference keeps matching even once n_predict
+            # or EOS is reached (speculative_orig:282-310 only breaks the
+            # outer loop afterwards), so accepts in the final round count;
+            # stopping at the n_predict boundary undercounts acceptance
             alive = [s for s in range(sp.n_parallel) if branches[s].active]
             idx = 0  # logits index for the next position
             depth = 0
             s_keep = 0
+            hit_eos = False
             new_tokens: list[int] = []
             while True:
                 t = sample(sampler, logits[idx])
                 sampler.accept(t)
                 new_tokens.append(t)
-                if (not ignore_eos and t == self.eos_id) or len(generated) + len(new_tokens) >= n_predict:
-                    break
+                if not ignore_eos and t == self.eos_id:
+                    hit_eos = True
                 matches = [
                     s for s in alive if depth < len(branches[s].tokens) and branches[s].tokens[depth] == t
                 ]
@@ -164,8 +170,11 @@ class SyncSpeculator:
                 depth += 1
 
             m = depth  # matched draft tokens
-            generated.extend(new_tokens)
             self.stats.n_predict += len(new_tokens)
+            if hit_eos:
+                # emit nothing the round verified past the EOS
+                new_tokens = new_tokens[: new_tokens.index(self.eos_id) + 1]
+            generated.extend(new_tokens)
             if stream:
                 for t in new_tokens:
                     stream(t)
@@ -182,7 +191,9 @@ class SyncSpeculator:
 
             n_past += 1 + m
             root = generated[-1]
-            if not ignore_eos and root == self.eos_id:
+            if hit_eos:
                 break
 
-        return generated
+        # a final round may overshoot n_predict (the reference emits the
+        # overshoot too; callers here expect at most n_predict)
+        return generated[:n_predict]

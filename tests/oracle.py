@@ -216,3 +216,101 @@ def ref_dequantize(name: str, raw: np.ndarray, n: int) -> np.ndarray:
         ctypes.c_int(n),
     )
     return out
+
+
+_SPEC_BIN = Path("/tmp/pipeinfer_spec_oracle")
+
+
+def get_spec_oracle() -> Path | None:
+    """The reference's synchronous speculative example (speculative_orig),
+    compiled single-rank against the MPI stub — the acceptance-rate oracle
+    (ref: examples/speculative_orig/speculative.cpp:549-551 prints)."""
+    if _SPEC_BIN.exists():
+        return _SPEC_BIN
+    if get_tok_oracle() is None:
+        return None
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        objs = []
+        try:
+            for src, cc, extra in [
+                (_REF / "ggml.c", "gcc", ["-D_GNU_SOURCE"]),
+                (_REF / "ggml-alloc.c", "gcc", []),
+                (_REF / "ggml-backend.c", "gcc", []),
+                (_REF / "ggml-quants.c", "gcc", []),
+                (_REF / "ggml-mpi.c", "gcc", []),
+                (_SRC / "mpi_stub.c", "gcc", []),
+                (_SRC / "mpi_globals.c", "gcc", []),
+                (_REF / "llama.cpp", "g++", ["-std=c++11"]),
+                (_REF / "common" / "common.cpp", "g++", ["-std=c++11", f"-I{_REF}/common"]),
+                (_REF / "common" / "sampling.cpp", "g++", ["-std=c++11", f"-I{_REF}/common"]),
+                (_REF / "common" / "console.cpp", "g++", ["-std=c++11", f"-I{_REF}/common"]),
+                (_REF / "common" / "grammar-parser.cpp", "g++", ["-std=c++11", f"-I{_REF}/common"]),
+                (_REF / "examples" / "speculative_orig" / "speculative.cpp", "g++",
+                 ["-std=c++11", f"-I{_REF}/common"]),
+                (_SRC / "build_info_stub.cpp", "g++", ["-std=c++11"]),
+            ]:
+                obj = f"{td}/{src.stem}_{src.suffix[1:]}.o"
+                subprocess.run(
+                    [cc, "-O1", "-c", "-DGGML_USE_MPI", f"-I{_SRC}/include", f"-I{_REF}", *extra,
+                     str(src), "-o", obj],
+                    check=True, capture_output=True,
+                )
+                objs.append(obj)
+            subprocess.run(
+                ["g++", "-o", str(_SPEC_BIN), *objs, "-lpthread", "-lm"],
+                check=True, capture_output=True,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    return _SPEC_BIN if _SPEC_BIN.exists() else None
+
+
+def ref_speculative(
+    tgt_gguf: str,
+    dft_gguf: str,
+    prompt: str,
+    n_predict: int,
+    *,
+    n_draft: int = 5,
+    n_parallel: int = 1,
+    p_accept: float = 0.5,
+    p_split: float = 0.1,
+) -> dict | None:
+    """Run the reference speculative_orig binary; returns its printed
+    metrics {n_drafted, n_accept, accept} or None if unavailable."""
+    binpath = get_spec_oracle()
+    if binpath is None:
+        return None
+    out = subprocess.run(
+        [
+            str(binpath),
+            "--model", tgt_gguf, "--model-draft", dft_gguf,
+            "-p", prompt, "-n", str(n_predict),
+            "--draft", str(n_draft), "-np", str(n_parallel),
+            "-pa", str(p_accept), "-ps", str(p_split),
+            # target sampler: plain greedy (the binary itself forces
+            # temp=-1 "greedy with probs" for the DRAFT samplers,
+            # speculative_orig/speculative.cpp:211; the CLI clamps --temp
+            # to >= 0 anyway, common.cpp:320)
+            "--temp", "0", "--repeat-penalty", "1.0", "--repeat-last-n", "0",
+            "--mpi-layer-split", "1.0/1.0",
+            "-c", "512", "--threads", "2",
+        ],
+        capture_output=True, timeout=900,
+    )
+    text = out.stderr.decode(errors="replace")
+    import re
+
+    m_d = re.search(r"n_drafted\s*=\s*(\d+)", text)
+    m_a = re.search(r"n_accept\s*=\s*(\d+)", text)
+    if not (m_d and m_a):
+        return None
+    n_drafted, n_accept = int(m_d.group(1)), int(m_a.group(1))
+    return {
+        "n_drafted": n_drafted,
+        "n_accept": n_accept,
+        "accept": n_accept / max(n_drafted, 1),
+        "stdout": out.stdout.decode(errors="replace"),
+    }

@@ -22,7 +22,13 @@ int MPI_Finalize(void) { return MPI_SUCCESS; }
 int MPI_Comm_rank(MPI_Comm comm, int *rank) { *rank = (comm == MPI_COMM_NULL) ? -1 : 0; return MPI_SUCCESS; }
 int MPI_Comm_size(MPI_Comm comm, int *size) { *size = (comm == MPI_COMM_NULL) ? 0 : 1; return MPI_SUCCESS; }
 int MPI_Comm_split(MPI_Comm comm, int color, int key, MPI_Comm *newcomm) {
-    (void)key; *newcomm = (color == MPI_UNDEFINED) ? MPI_COMM_NULL : comm; return MPI_SUCCESS;
+    /* Real MPI returns MPI_COMM_NULL for color=MPI_UNDEFINED, which on a
+     * 1-rank world would kill whichever pipeline this rank isn't the head
+     * of (speculative_orig/speculative.cpp:80 gives the draft comm color
+     * -1 on rank 0, making every draft-context call a no-op -> zero
+     * logits). For a single-process oracle the right semantics is "this
+     * rank heads EVERY pipeline": always hand back a valid comm. */
+    (void)key; (void)color; *newcomm = comm; return MPI_SUCCESS;
 }
 int MPI_Comm_free(MPI_Comm *comm) { (void)comm; return MPI_SUCCESS; }
 int MPI_Barrier(MPI_Comm comm) { (void)comm; return MPI_SUCCESS; }

@@ -1,0 +1,114 @@
+"""Acceptance-rate parity vs the REFERENCE speculative binary.
+
+BASELINE.md requires acceptance within ±2% of the reference on the same
+model pair. This trains a tiny target+draft pair (peaked distributions so
+the p_accept drafting gate passes), runs the reference's
+speculative_orig binary (compiled single-rank from the read-only mount,
+tests/oracle.py) and our SyncSpeculator with identical parameters, and
+compares accept %."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pipeinfer_tpu.gguf.reader import GGUFReader
+from pipeinfer_tpu.models import load_model
+from pipeinfer_tpu.runtime.context import InferenceContext
+from pipeinfer_tpu.sampling.samplers import SamplingParams
+from pipeinfer_tpu.spec.params import SpecParams
+from pipeinfer_tpu.spec.sync_spec import SyncSpeculator
+from pipeinfer_tpu.tokenizer import tokenizer_from_gguf
+from pipeinfer_tpu.tools import testmodel
+from pipeinfer_tpu.tools.finetune import dense_params, save_gguf, train
+
+from . import oracle
+
+VOCAB_FIXTURE = "/root/reference/models/ggml-vocab-llama.gguf"
+CORPUS = (
+    "the quick brown fox jumps over the lazy dog and then "
+    "the quick brown fox jumps over the lazy dog again because "
+) * 30
+PROMPT = "the quick brown fox jumps over"
+N_PREDICT = 48
+# p_accept 0.2: tiny trained models peak around 0.3-0.8 top-prob
+SPEC = dict(n_draft=5, n_parallel=1, p_accept=0.2, p_split=0.1)
+
+
+def _train_model(path, *, n_layers, seed, steps, tok):
+    stream = np.asarray(tok.encode(CORPUS, add_bos=True), np.int32)
+    init = path.with_suffix(".init.gguf")
+    testmodel.build_tiny_llama(
+        init, seed=seed, n_layers=n_layers, n_embd=64, n_heads=4, n_kv_heads=4,
+        n_ff=128, vocab_from=VOCAB_FIXTURE,
+    )
+    params, cfg = load_model(init)
+    params = dense_params(params)
+    params, losses = train(
+        params, cfg, stream, seq_len=48, batch=4, steps=steps, lr=6e-3,
+        log=lambda s: None, seed=seed,
+    )
+    save_gguf_with_vocab(params, cfg, path)
+    return losses[-1]
+
+
+def save_gguf_with_vocab(params, cfg, path):
+    # save_gguf drops the vocab; rebuild with vocab_from so the reference
+    # binary can tokenize
+    w = {
+        "tok_embd": np.asarray(params["tok_embd"], np.float32),
+        "output_norm": np.asarray(params["output_norm"], np.float32),
+        "output": np.asarray(params["output"], np.float32),
+    }
+    for i, lp in enumerate(params["layers"]):
+        for slot, arr in lp.items():
+            w[f"layers.{i}.{slot}"] = np.asarray(arr, np.float32)
+    testmodel.build_tiny_llama(
+        path, n_layers=cfg.n_layers, n_embd=cfg.n_embd, n_heads=cfg.n_heads,
+        n_kv_heads=cfg.n_kv_heads, n_ff=cfg.n_ff, vocab_from=VOCAB_FIXTURE,
+        weights=w,
+    )
+
+
+@pytest.mark.skipif(oracle.get_spec_oracle() is None, reason="no reference toolchain")
+def test_acceptance_within_2pct_of_reference(tmp_path):
+    with GGUFReader(VOCAB_FIXTURE) as r:
+        tok = tokenizer_from_gguf(r)
+
+    tgt = tmp_path / "tgt.gguf"
+    dft = tmp_path / "dft.gguf"
+    loss_t = _train_model(tgt, n_layers=2, seed=1, steps=220, tok=tok)
+    loss_d = _train_model(dft, n_layers=1, seed=2, steps=160, tok=tok)
+    assert loss_t < 1.5 and loss_d < 2.5, (loss_t, loss_d)
+
+    ref = oracle.ref_speculative(
+        str(tgt), str(dft), PROMPT, N_PREDICT, **SPEC
+    )
+    assert ref is not None, "reference speculative oracle failed to run"
+    assert ref["n_drafted"] > 0, "reference drafted nothing (distribution too flat)"
+
+    params_t, cfg_t = load_model(tgt)
+    params_d, cfg_d = load_model(dft)
+    ctx_t = InferenceContext(params_t, cfg_t, n_cells=256, cache_dtype=jnp.float32)
+    ctx_d = InferenceContext(params_d, cfg_d, n_cells=256, cache_dtype=jnp.float32)
+    engine = SyncSpeculator(
+        ctx_t, ctx_d,
+        SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0),
+        SpecParams(**SPEC),
+        eos_id=tok.vocab.eos_id,
+    )
+    ids = tok.encode(PROMPT, add_bos=True)
+    engine.generate(ids, N_PREDICT)
+    ours = engine.stats
+    assert ours.n_drafted > 0
+
+    ref_rate = ref["accept"]
+    our_rate = ours.n_accept / ours.n_drafted
+    print(
+        f"reference: {ref['n_accept']}/{ref['n_drafted']} = {100 * ref_rate:.1f}% | "
+        f"ours: {ours.n_accept}/{ours.n_drafted} = {100 * our_rate:.1f}%"
+    )
+    assert abs(our_rate - ref_rate) <= 0.02, (
+        f"acceptance diverges: ours {100 * our_rate:.2f}% vs "
+        f"reference {100 * ref_rate:.2f}% (BASELINE requires ±2%)"
+    )
