@@ -56,6 +56,31 @@ def save_gguf(params, cfg, path):
     )
 
 
+def save_opt_state(opt_state, step: int, path: str):
+    """Optimizer-state checkpoint (ref: common/train.cpp opt context
+    serialization — AdamW moments + step counter). Leaves are saved in
+    tree-flatten order; the structure is reproducible from opt.init."""
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(opt_state)
+    np.savez(
+        path, step=np.int64(step),
+        **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+    )
+
+
+def load_opt_state(path: str, opt_state_template):
+    """Restore an optimizer state saved by save_opt_state into the
+    structure of `opt_state_template` (from opt.init on matching params)."""
+    import jax
+
+    data = np.load(path)
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    n = treedef.num_leaves
+    leaves = [data[f"leaf_{i}"] for i in range(n)]
+    return jax.tree_util.tree_unflatten(treedef, leaves), int(data["step"])
+
+
 def train(
     params,
     cfg,
@@ -69,6 +94,7 @@ def train(
     ckpt_path: str = "",
     log=print,
     seed: int = 0,
+    resume_opt: str = "",
 ):
     import jax
     import jax.numpy as jnp
@@ -78,6 +104,11 @@ def train(
 
     opt = optax.adamw(lr)
     opt_state = opt.init(params)
+    start_step = 0
+    if resume_opt:
+        opt_state, last_step = load_opt_state(resume_opt, opt_state)
+        start_step = last_step + 1
+        log(f"resumed optimizer state at step {start_step}")
     loss_grad = jax.jit(jax.value_and_grad(lambda p, toks: lm_loss(p, cfg, toks)))
 
     @jax.jit
@@ -87,11 +118,13 @@ def train(
         return optax.apply_updates(params, updates), opt_state, loss
 
     del loss_grad
-    rng = np.random.default_rng(seed)
     n_chunks = len(token_stream) - seq_len - 1
     losses = []
     t0 = time.time()
-    for step in range(steps):
+    for step in range(start_step, steps):
+        # per-step rng: the batch at step k is identical whether or not the
+        # run was resumed mid-stream (bit-reproducible resume)
+        rng = np.random.default_rng((seed, step))
         starts = rng.integers(0, n_chunks, batch)
         toks = np.stack([token_stream[s : s + seq_len + 1] for s in starts])
         params, opt_state, loss = update(params, opt_state, jnp.asarray(toks))
@@ -100,8 +133,8 @@ def train(
             log(f"step {step}: loss {float(loss):.4f} ({time.time()-t0:.1f}s)")
         if ckpt_every and ckpt_path and (step + 1) % ckpt_every == 0:
             save_gguf(params, cfg, ckpt_path)
-            np.savez(str(ckpt_path) + ".opt.npz", step=step)
-            log(f"checkpoint -> {ckpt_path}")
+            save_opt_state(opt_state, step, str(ckpt_path) + ".opt.npz")
+            log(f"checkpoint -> {ckpt_path} (+.opt.npz)")
     return params, losses
 
 
@@ -121,12 +154,16 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--ckpt-every", type=int, default=0)
+    p.add_argument("--resume", default="",
+                   help="checkpoint GGUF to resume from (model + .opt.npz)")
     args = p.parse_args(argv)
 
     from ..gguf.reader import GGUFReader
     from ..models import load_model
     from ..tokenizer import tokenizer_from_gguf
 
+    if args.resume:
+        args.model = args.resume
     if args.init_random:
         from ..tools import testmodel
 
@@ -157,6 +194,7 @@ def main(argv=None):
         seq_len=args.seq_len, batch=args.batch, steps=args.steps, lr=args.lr,
         ckpt_every=args.ckpt_every, ckpt_path=args.out,
         log=lambda s: print(s, file=sys.stderr),
+        resume_opt=(args.resume + ".opt.npz") if args.resume else "",
     )
     save_gguf(params, cfg, args.out)
     print(f"final loss {losses[-1]:.4f} -> {args.out}")

@@ -60,3 +60,33 @@ def test_overfit_decreases_loss(model, tmp_path):
         jnp.zeros(4, jnp.int32), jnp.arange(4, dtype=jnp.int32), jnp.ones(4, bool),
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_checkpoint_resume_bitexact(model, tmp_path):
+    """Train N steps straight vs train k, checkpoint (model GGUF +
+    optimizer .opt.npz), reload, resume — identical loss trajectory
+    (ref: common/train.cpp checkpoint round trip)."""
+    import numpy as np
+
+    from pipeinfer_tpu.models import load_model
+    from pipeinfer_tpu.tools.finetune import load_opt_state, save_opt_state  # noqa: F401
+
+    params, cfg = model
+    stream = np.random.default_rng(0).integers(3, 150, 600).astype(np.int32)
+
+    p1 = dense_params(params)
+    _, losses_full = train(p1, cfg, stream, seq_len=32, batch=2, steps=6, lr=1e-3,
+                           log=lambda s: None)
+
+    ckpt = tmp_path / "ck.gguf"
+    p2 = dense_params(params)
+    p2, losses_a = train(p2, cfg, stream, seq_len=32, batch=2, steps=3, lr=1e-3,
+                         ckpt_every=3, ckpt_path=str(ckpt), log=lambda s: None)
+    assert ckpt.exists() and (tmp_path / "ck.gguf.opt.npz").exists()
+
+    rp, rcfg = load_model(ckpt)
+    rp = dense_params(rp)
+    _, losses_b = train(rp, rcfg, stream, seq_len=32, batch=2, steps=6, lr=1e-3,
+                        resume_opt=str(ckpt) + ".opt.npz", log=lambda s: None)
+    resumed = losses_a + losses_b
+    np.testing.assert_allclose(resumed, losses_full, rtol=2e-4, atol=2e-5)
