@@ -31,11 +31,30 @@ _DENSE_TYPES = (
 )
 
 
-def _load_tensor(r: GGUFReader, name: str, *, dense_dtype=jnp.float32, layout="k_major"):
+def matmul_layout(qtype: GGMLQuantType | None = None) -> str:
+    """Device layout for quantized matmul weights. On TPU: "i8g" — int8
+    requantized on a per-(512, col) grid so the MXU consumes weights
+    directly with output-side scaling (every unpack-in-kernel design is
+    VPU-bound at ~1e12 elem-ops/s on v5e; see ops.qmatmul._i8g_kernel).
+    Elsewhere the minimum-memory packed planes. "i8"/"k4" remain available
+    as exact-dequant layouts. Override: PIPEINFER_WEIGHT_LAYOUT."""
+    import os
+
+    env = os.environ.get("PIPEINFER_WEIGHT_LAYOUT", "")
+    if env in ("i8", "k_major", "k4", "i8g"):
+        return env
+    import jax
+
+    return "i8g" if jax.default_backend() == "tpu" else "k_major"
+
+
+def _load_tensor(r: GGUFReader, name: str, *, dense_dtype=jnp.float32, layout=None):
     info = r.tensors[name]
     if info.qtype in _DENSE_TYPES or len(info.shape) != 2:
         arr = r.tensor(name)  # dequantized to float if needed
         return jnp.asarray(np.ascontiguousarray(arr), dtype=dense_dtype)
+    if layout is None:
+        layout = matmul_layout(info.qtype)
     if info.qtype in pack.FORMAT_INFO:
         pw = pack.pack(r.tensor_bytes(name), info.qtype, info.shape)
         return to_device(pw, layout=layout)
@@ -98,24 +117,42 @@ def forward_for_arch(arch: str):
     return generic.forward
 
 
-def load_model(path: str | Path) -> tuple[dict[str, Any], ModelConfig]:
-    """Load a GGUF model file. Returns (params pytree, config)."""
+def load_model(path: str | Path, *, max_workers: int = 4) -> tuple[dict[str, Any], ModelConfig]:
+    """Load a GGUF model file. Returns (params pytree, config).
+
+    Tensors load through a thread pool: the native repack is a ctypes call
+    (GIL released) and the device upload + on-device unpack are async jax
+    dispatches, so host decode of tensor i+1 overlaps the transfer of
+    tensor i (ref: llama.cpp:1805-1938 mmap loader; there the OS page
+    cache plays this role)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     r = GGUFReader(path)
     cfg = config_from_gguf(r)
-    params: dict[str, Any] = {"layers": []}
+    jobs: list[tuple[Any, str, str | None]] = []  # (dest key, gguf name, layout)
+    params: dict[str, Any] = {"layers": [{} for _ in range(cfg.n_layers)]}
     for gname, slot in GLOBAL_TENSOR_MAP.items():
         if gname in r.tensors:
-            layout = "n_major" if slot in _GATHER_SLOTS else "k_major"
-            params[slot] = _load_tensor(r, gname, layout=layout)
-    if "output" not in params:
-        # tied embeddings: the head matmul needs its own k_major copy
-        params["output"] = _load_tensor(r, "token_embd.weight", layout="k_major")
+            layout = "n_major" if slot in _GATHER_SLOTS else None
+            jobs.append((slot, gname, layout))
+    if "output.weight" not in r.tensors:
+        # tied embeddings: the head matmul needs its own matmul-layout copy
+        jobs.append(("output", "token_embd.weight", None))
     for li in range(cfg.n_layers):
-        lp = {}
         for suffix, slot in LAYER_TENSOR_MAP.items():
             gname = f"blk.{li}.{suffix}"
             if gname in r.tensors:
-                lp[slot] = _load_tensor(r, gname)
-        params["layers"].append(lp)
+                jobs.append(((li, slot), gname, None))
+
+    def run(job):
+        key, gname, layout = job
+        return key, _load_tensor(r, gname, layout=layout)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        for key, arr in ex.map(run, jobs):
+            if isinstance(key, tuple):
+                params["layers"][key[0]][key[1]] = arr
+            else:
+                params[key] = arr
     r.close()
     return params, cfg

@@ -2,21 +2,32 @@
 
 The counterpart of the reference's quantized dot-product matmul kernels
 (ref: ggml-quants.c `ggml_vec_dot_q4_K_q8_K` etc. driven by ggml.c matmul),
-re-designed for the MXU instead of AVX lanes:
+re-designed for the MXU instead of AVX lanes.
 
-- weights live packed in HBM in a **K-major planar layout** (the transpose
-  of ``quant.pack``'s host layout): quant planes [K/2|K/4|K, N], scale/bias
-  planes [K/G, N]. K-major makes every VMEM tile naturally aligned
-  (scales tile is (K_tile/G, N_tile) = (8|16, 128·c)) and the matmul
-  canonical (M,K)@(K,N);
-- the kernel DMAs packed tiles into VMEM, unpacks nibble/bit planes with
-  full-width VPU ops (sublane concats), expands per-group scales with a tiny
-  MXU matmul (broadcast-by-matmul: E[tk, K/G] @ s — cheaper than lane
-  shuffles), applies ``w = s*q - b`` and feeds bf16 tiles to the MXU;
-- accumulation is float32 in VMEM scratch over the K grid dimension.
+Device layouts, in order of construction:
+- "k_major": bit-packed planes transposed to [K-ish, N]; kernel unpacks
+  nibbles/scales in VMEM. Minimum HBM bytes, but every weight element
+  crosses the VPU — and the v5e VPU sustains only ~1e12 elem-ops/s, so a
+  7B decode step is VPU-bound at ~40 ms. Kept as the exact-dequant layout
+  for CPU/tests.
+- "i8"/"k4": intermediate designs (int8-widened planes / lo-hi nibble
+  plane-split that avoids the interleave relayout). Still VPU-bound:
+  scale application touches every element. Kept selectable; bit-exact.
+- "i8g" (DEFAULT on TPU): weights REQUANTIZED at load to int8 on a
+  per-(512-row slab, column) absmax grid; activations quantized per slab
+  at run time; the kernel is pure MXU s8xs8->s32 dots with all scaling
+  applied to the [M, N_tile] step output (sw_eff = sx*sw premultiplied
+  outside). Zero per-weight-element VPU work: measured 700-800 GB/s
+  (85-97% of v5e HBM roofline) at llama-7B shapes — the speed-of-light
+  design. 8-bit resolution over a 512 slab carries the accuracy of 4-bit
+  over 32-groups; parity budget enforced in tests/test_qmatmul.py.
 
 A pure-jnp reference path (`dequant` + XLA matmul) doubles as the fallback
 for CPU tests / tiny shapes and as the golden model for kernel tests.
+
+NOTE on this machine's runtime (axon/IFRT proxy): dispatch+fetch RTT is
+~30 ms and block_until_ready returns at remote enqueue — benchmark kernels
+with a host fetch and amortize over many matmuls per dispatch.
 """
 
 from __future__ import annotations
@@ -54,6 +65,10 @@ class QuantTensor:
     qtype: GGMLQuantType  # static
     shape: tuple[int, int]  # static (N, K)
     layout: str = "k_major"  # static
+    # "k4" layout only: hi-nibble-plane scale/bias ([K/64, N]); the base
+    # scales/bias fields then hold the lo plane
+    scales2: jax.Array | None = None
+    bias2: jax.Array | None = None
 
     @property
     def bits(self) -> int:
@@ -69,25 +84,93 @@ class QuantTensor:
             + (self.qh.size if self.qh is not None else 0)
             + self.scales.nbytes
             + self.bias.nbytes
+            + (self.scales2.nbytes if self.scales2 is not None else 0)
+            + (self.bias2.nbytes if self.bias2 is not None else 0)
         )
 
     def tree_flatten(self):
-        children = (self.qs, self.qh, self.scales, self.bias)
+        children = (self.qs, self.qh, self.scales, self.bias, self.scales2, self.bias2)
         return children, (self.qtype, self.shape, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        qs, qh, scales, bias, scales2, bias2 = children
+        qtype, shape, layout = aux
+        return cls(qs, qh, scales, bias, qtype, shape, layout, scales2, bias2)
 
 
 def to_device(pw: PackedWeight, sharding=None, layout: str = "k_major") -> QuantTensor:
-    """Upload a host PackedWeight in the requested plane layout."""
+    """Upload a host PackedWeight in the requested plane layout.
+
+    Layouts: "k_major" (bit-packed planes, minimum HBM), "n_major"
+    (embedding row gathers), "i8" (integer quants widened to an int8
+    [K, N] plane + f32 scale/bias planes — ~2x the HBM bytes of 4-bit
+    packing but the kernel does a trivial cast instead of nibble surgery;
+    measured ~30x faster on v5e, where Mosaic sublane relayouts dominate
+    the packed kernel), "k4" (4-bit formats only: the packed nibble plane
+    [K/2, N] stays 0.5 B/param in HBM and the kernel treats the lo and hi
+    nibble planes as two independent K-halves of the dot — summation over
+    K is order-free, so NO interleave/relayout is ever needed; scale/bias
+    split into per-plane [K/64, N] tensors at load)."""
 
     def put(a):
-        if layout == "k_major":
+        if layout in ("k_major", "i8"):
             a = np.ascontiguousarray(a.T)
         return jax.device_put(a, sharding) if sharding is not None else jnp.asarray(a)
 
+    if layout == "i8g":
+        wq, sw = _i8g_planes_jit(
+            jnp.asarray(pw.qs),
+            jnp.asarray(pw.qh) if pw.qh is not None else None,
+            jnp.asarray(pw.scales), jnp.asarray(pw.bias),
+            bits=pw.bits, k=pw.shape[1], group=FORMAT_INFO[pw.qtype][1],
+        )
+        if sharding is not None:
+            wq = jax.device_put(wq, sharding)
+            sw = jax.device_put(sw, sharding)
+        return QuantTensor(
+            qs=wq, qh=None, scales=sw, bias=sw[:0],
+            qtype=pw.qtype, shape=pw.shape, layout="i8g",
+        )
+    if layout == "k4":
+        if pw.bits != 4 or pw.shape[1] % PACK_GROUP != 0:
+            return to_device(pw, sharding, "i8")  # k4 is 4-bit, K%256 only
+        qs_t, s_lo, s_hi, b_lo, b_hi = _k4_planes_jit(
+            jnp.asarray(pw.qs), jnp.asarray(pw.scales), jnp.asarray(pw.bias)
+        )
+        if sharding is not None:
+            qs_t, s_lo, s_hi, b_lo, b_hi = (
+                jax.device_put(a, sharding) for a in (qs_t, s_lo, s_hi, b_lo, b_hi)
+            )
+        return QuantTensor(
+            qs=qs_t, qh=None, scales=s_lo, bias=b_lo,
+            qtype=pw.qtype, shape=pw.shape, layout="k4",
+            scales2=s_hi, bias2=b_hi,
+        )
+    if layout == "i8":
+        # unpack + transpose ON DEVICE: the host only ships the raw packed
+        # planes (half the bytes, zero byte-twiddling — this host's numpy
+        # does int8 transposes at ~7 MB/s, which made host-side unpack the
+        # dominant cost of a 7B load)
+        bits, (n, k) = pw.bits, pw.shape
+        qh = jnp.asarray(pw.qh) if pw.qh is not None else None
+        qs_i8, s_t, b_t = _i8_planes_jit(
+            jnp.asarray(pw.qs), qh, jnp.asarray(pw.scales), jnp.asarray(pw.bias),
+            bits=bits, k=k,
+        )
+        if sharding is not None:
+            qs_i8 = jax.device_put(qs_i8, sharding)
+            s_t = jax.device_put(s_t, sharding)
+            b_t = jax.device_put(b_t, sharding)
+        return QuantTensor(
+            qs=qs_i8,
+            qh=None,
+            scales=s_t,
+            bias=b_t,
+            qtype=pw.qtype,
+            shape=pw.shape,
+            layout="i8",
+        )
     return QuantTensor(
         qs=put(pw.qs),
         qh=put(pw.qh) if pw.qh is not None else None,
@@ -136,6 +219,31 @@ def dequant_T(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
     """Dequantize to W^T [K, N] (matmul-ready layout)."""
     if qt.layout == "n_major":
         return dequant(qt, dtype).T
+    if qt.layout == "i8g":
+        kp = qt.qs.shape[0]
+        w = qt.qs.astype(jnp.float32) * jnp.repeat(
+            qt.scales, I8G_SLAB, axis=0, total_repeat_length=kp
+        )
+        return w[: qt.shape[1]].astype(dtype)
+    if qt.layout == "k4":
+        n, k = qt.shape
+        wi = qt.qs[: k // 2].astype(jnp.int32)  # trim pad rows
+        sl = jnp.repeat(qt.scales, 32, axis=0, total_repeat_length=qt.scales.shape[0] * 32)[: k // 2]
+        sh = jnp.repeat(qt.scales2, 32, axis=0, total_repeat_length=qt.scales2.shape[0] * 32)[: k // 2]
+        bl = jnp.repeat(qt.bias, 32, axis=0, total_repeat_length=qt.bias.shape[0] * 32)[: k // 2]
+        bh = jnp.repeat(qt.bias2, 32, axis=0, total_repeat_length=qt.bias2.shape[0] * 32)[: k // 2]
+        w_lo = sl * (wi & 15).astype(jnp.float32) - bl
+        w_hi = sh * (wi >> 4).astype(jnp.float32) - bh
+        # plane row p holds elements (p//128)*256 + p%128 (lo) and +128 (hi)
+        w4 = jnp.concatenate(
+            [w_lo.reshape(k // 256, 128, n), w_hi.reshape(k // 256, 128, n)], axis=1
+        )
+        return w4.reshape(k, n).astype(dtype)
+    if qt.layout == "i8":
+        q = qt.qs.astype(jnp.float32)
+        s = jnp.repeat(qt.scales, qt.group, axis=0, total_repeat_length=qt.shape[1])
+        b = jnp.repeat(qt.bias, qt.group, axis=0, total_repeat_length=qt.shape[1])
+        return (s * q - b).astype(dtype)
     q = _unpack_quants_T_jnp(qt).astype(jnp.float32)
     s = jnp.repeat(qt.scales, qt.group, axis=0, total_repeat_length=qt.shape[1])
     b = jnp.repeat(qt.bias, qt.group, axis=0, total_repeat_length=qt.shape[1])
@@ -154,9 +262,11 @@ def dequant(qt: QuantTensor, dtype=jnp.float32) -> jax.Array:
 
 def _unpack_quants_N_jnp(qt: QuantTensor, qs, qh) -> jax.Array:
     """N-major planes (rows [R, cols]) -> integer quants [R, K] (int32)."""
+    return _unpack_quants_N_core(qs, qh, bits=qt.bits, k=qt.shape[1])
+
+
+def _unpack_quants_N_core(qs, qh, *, bits: int, k: int) -> jax.Array:
     r = qs.shape[0]
-    k = qt.shape[1]
-    bits = qt.bits
     pg = min(PACK_GROUP, k)
     if bits == 8:
         return qs.astype(jnp.int32)
@@ -179,6 +289,68 @@ def _unpack_quants_N_jnp(qt: QuantTensor, qs, qh) -> jax.Array:
         hb = jnp.concatenate([(h >> i) & 1 for i in range(8)], axis=2)
         q = q | (hb << 2)
     return q.reshape(r, k)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "k"))
+def _i8_planes_jit(qs, qh, scales, bias, *, bits: int, k: int):
+    """Raw N-major packed planes -> (int8 W^T [K,N], scales^T, bias^T)."""
+    q = _unpack_quants_N_core(qs, qh, bits=bits, k=k)
+    return q.astype(jnp.int8).T, scales.T, bias.T
+
+
+def _pad_plane_rows(a: jax.Array, mult: int) -> jax.Array:
+    r = a.shape[0]
+    pad = (-r) % mult
+    return a if pad == 0 else jnp.pad(a, ((0, pad), (0, 0)))
+
+
+I8G_SLAB = 512  # K rows sharing one requant scale (and one grid step)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "k", "group"))
+def _i8g_planes_jit(qs, qh, scales, bias, *, bits: int, k: int, group: int):
+    """Raw N-major packed planes -> (int8 W^T [Kp, N], sw [Kp/S, N] f32).
+
+    Dequantizes the GGUF block format on device, then REQUANTIZES to int8
+    on a per-(slab, column) absmax grid. 8-bit resolution over a 512-row
+    slab carries the accuracy of 4-bit resolution over 32-row groups
+    (range grows ~scale-spread, levels grow 16x), and the layout feeds the
+    MXU int8 path directly — no per-weight-element VPU work at matmul
+    time, which is the v5e bottleneck (~1e12 elem-ops/s) for every
+    unpack-in-kernel design."""
+    q = _unpack_quants_N_core(qs, qh, bits=bits, k=k).astype(jnp.float32)
+    s = jnp.repeat(scales, group, axis=1, total_repeat_length=k)
+    b = jnp.repeat(bias, group, axis=1, total_repeat_length=k)
+    w = (s * q - b).T  # [K, N] f32
+    w = _pad_plane_rows(w, I8G_SLAB)
+    kp, n = w.shape
+    ws = w.reshape(kp // I8G_SLAB, I8G_SLAB, n)
+    sw = jnp.maximum(jnp.abs(ws).max(axis=1), 1e-20) / 127.0  # [Kp/S, N]
+    wq = jnp.round(ws / sw[:, None, :]).astype(jnp.int8).reshape(kp, n)
+    return wq, sw
+
+
+@jax.jit
+def _k4_planes_jit(qs, scales, bias):
+    """Raw 4-bit N-major planes -> k4 device layout.
+
+    qs [N, K/2] bytes: byte row p of the transpose holds element
+    (p//128)*256 + p%128 in its low nibble and that +128 in its high
+    nibble (quant.pack split-pack layout). Scale/bias [N, K/32] split into
+    per-plane tensors in plane-row order: lo-plane row p uses scale row
+    p//32 of s_lo — a pure contiguous expansion, kernel-friendly. The byte
+    plane is zero-padded to a multiple of 256 rows (Mosaic sublane tiling;
+    zero q rows with zero bias contribute nothing)."""
+    n = qs.shape[0]
+    qs_t = _pad_plane_rows(qs.T, 256)  # [K/2 pad, N]
+    def split(a):
+        a_t = a.T.reshape(-1, 8, n)  # [K/256, 8, N]; rows 0-3 lo, 4-7 hi
+        lo = _pad_plane_rows(a_t[:, :4].reshape(-1, n), 8)
+        hi = _pad_plane_rows(a_t[:, 4:].reshape(-1, n), 8)
+        return lo, hi
+    s_lo, s_hi = split(scales)
+    b_lo, b_hi = split(bias)
+    return qs_t, s_lo, s_hi, b_lo, b_hi
 
 
 def dequant_rows(qt: QuantTensor, rows: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -361,8 +533,312 @@ def _qmm_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256, interpret: bo
     return out[:m]
 
 
+def _i8_kernel(group: int, ku: int):
+    """Scales expand via the MXU 0/1 matmul (sublane broadcast+reshape is a
+    Mosaic relayout — measured ~50 ms/tensor at 7B ffn shapes); the
+    per-group bias term sum_k x_k*b_k = dot(xg, b) is computed OUTSIDE the
+    kernel by XLA (its [M, K/G] lane blocking doesn't fit Mosaic tiling,
+    and it reads the same bias-plane bytes either way)."""
+
+    def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        slab, tn = w_ref.shape
+        s = _expand_groups_mxu(s_ref[...], group, slab)
+        w = (s * w_ref[...].astype(jnp.float32)).astype(jnp.bfloat16)
+        acc_ref[...] += jnp.dot(x_ref[...], w, preferred_element_type=jnp.float32)
+        o_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+def _k4_kernel(ku: int):
+    """4-bit planar kernel: one packed byte tile feeds TWO MXU dots (lo and
+    hi nibble planes) — the dot's K-sum is order-free, so the planes never
+    need to be interleaved back to natural K order (the relayout that made
+    bit-packed kernels 30x off roofline on v5e). HBM traffic stays at the
+    packed 0.5 B/param + 0.25 B/param of f32 scale/bias planes. The
+    group->row expansion matrix E arrives as a constant input (resident in
+    VMEM across grid steps; per-step iota+compare was ~2 us/step of VPU)."""
+
+    def kernel(xl_ref, xh_ref, e_ref, w_ref, sl_ref, sh_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        wi = w_ref[...].astype(jnp.int32)  # u8->f32 casts unsupported in Mosaic
+        e = e_ref[...]
+        sl = jax.lax.dot(e, sl_ref[...], preferred_element_type=jnp.float32)
+        sh = jax.lax.dot(e, sh_ref[...], preferred_element_type=jnp.float32)
+        wl = (sl * (wi & 15).astype(jnp.float32)).astype(jnp.bfloat16)
+        wh = (sh * (wi >> 4).astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jnp.dot(xl_ref[...], wl, preferred_element_type=jnp.float32)
+        acc += jnp.dot(xh_ref[...], wh, preferred_element_type=jnp.float32)
+        acc_ref[...] += acc
+        o_ref[...] = acc_ref[...]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "ku_cap", "interpret"))
+def _qmm_k4_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256,
+                   ku_cap: int = 4, interpret: bool = False):
+    """y = x @ W^T for the k4 layout (see _k4_kernel).
+
+    Host-free prep per call: split x into plane order (xl/xh) and compute
+    f32 per-group sums (xg) for the bias fold — all O(M*K) jnp ops."""
+    n, k = qt.shape
+    r2 = qt.qs.shape[0]  # padded byte-plane rows (>= k // 2)
+    m = x.shape[0]
+    m_pad = max(16, -(-m // 16) * 16)
+    xp = _pad_rows(x.astype(jnp.float32), m_pad)
+
+    x4 = xp.reshape(m_pad, k // 256, 2, 128)
+    xl = x4[:, :, 0, :].reshape(m_pad, k // 2)
+    xh = x4[:, :, 1, :].reshape(m_pad, k // 2)
+    xg = xp.reshape(m_pad, k // 32, 32).sum(-1)
+    xg4 = xg.reshape(m_pad, k // 256, 8)
+    xgl = xg4[:, :, :4].reshape(m_pad, k // 64)
+    xgh = xg4[:, :, 4:].reshape(m_pad, k // 64)
+
+    def padc(a, cols):
+        return a if a.shape[1] == cols else jnp.pad(a, ((0, 0), (0, cols - a.shape[1])))
+
+    xl = padc(xl, r2).astype(jnp.bfloat16)
+    xh = padc(xh, r2).astype(jnp.bfloat16)
+
+    srows = r2 // 32  # scale rows per plane (multiple of 8 by construction)
+    ku = 8 * _largest_divisor(srows // 8, ku_cap)  # slab2 = ku*32
+    slab2 = ku * 32
+    grid = (n // block_n, r2 // slab2)
+
+    # group->row expansion: E[p, g] = (p//32 == g), computed once on device
+    row = jax.lax.broadcasted_iota(jnp.int32, (slab2, ku), 0)
+    grp = jax.lax.broadcasted_iota(jnp.int32, (slab2, ku), 1)
+    e = (row // 32 == grp).astype(jnp.float32)
+
+    xspec = pl.BlockSpec((m_pad, slab2), lambda i, j: (0, j))
+    espec = pl.BlockSpec((slab2, ku), lambda i, j: (0, 0))
+    wspec = pl.BlockSpec((slab2, block_n), lambda i, j: (j, i))
+    sspec = pl.BlockSpec((ku, block_n), lambda i, j: (j, i))
+
+    out = pl.pallas_call(
+        _k4_kernel(ku),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        grid=grid,
+        in_specs=[xspec, xspec, espec, wspec, sspec, sspec],
+        out_specs=pl.BlockSpec((m_pad, block_n), lambda i, j: (0, i)),
+        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=qt.nbytes() + m_pad * k * 2 + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xl, xh, e, qt.qs, qt.scales, qt.scales2)
+    # bias term: sum_k x_k*b_k = xg @ B, a tiny XLA dot per plane (the
+    # Mosaic lane tiling can't block [M, K/G] by ku, and HBM traffic is
+    # identical either way)
+    bias = jnp.dot(xgl, qt.bias[: k // 64], preferred_element_type=jnp.float32)
+    bias += jnp.dot(xgh, qt.bias2[: k // 64], preferred_element_type=jnp.float32)
+    return out[:m] - bias[:m]
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(cap, n), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _i8g_quantize_x(x: jax.Array, kp: int):
+    """Activation int8 quantization on the per-slab absmax grid.
+    Returns (xq int8 [m, kp], sx f32 [kp/S])."""
+    m = x.shape[0]
+    xp = x.astype(jnp.float32)
+    if kp != x.shape[1]:
+        xp = jnp.pad(xp, ((0, 0), (0, kp - x.shape[1])))
+    nslab = kp // I8G_SLAB
+    xs = xp.reshape(m, nslab, I8G_SLAB)
+    sx = jnp.maximum(jnp.abs(xs).max(axis=(0, 2)), 1e-20) / 127.0
+    xq = jnp.round(xs / sx[None, :, None]).astype(jnp.int8).reshape(m, kp)
+    return xq, sx
+
+
+def _qmm_i8g_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
+    """Pure-XLA i8g matmul: one native s8xs8->s32 dot per 512-row scale
+    slab, scaled on the [M, N] step output. No Pallas — XLA's own int8
+    MXU path plus fusion of the scale/accumulate chain."""
+    n, k = qt.shape
+    kp = qt.qs.shape[0]
+    xq, sx = _i8g_quantize_x(x, kp)
+    se = qt.scales * sx[:, None]  # [nslab, N]
+    acc = None
+    for g in range(kp // I8G_SLAB):
+        lo = g * I8G_SLAB
+        p = jax.lax.dot_general(
+            xq[:, lo : lo + I8G_SLAB],
+            qt.qs[lo : lo + I8G_SLAB, :],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        c = p.astype(jnp.float32) * se[g][None, :]
+        acc = c if acc is None else acc + c
+    return acc
+
+
+def _i8g_kernel(slabs_per_step: int):
+    """MXU int8 x int8 -> int32 dots (one per 512-row scale slab, statically
+    unrolled); scaling applied to the per-slab OUTPUT (m_pad x tn elements)
+    with the premultiplied sw_eff = sx*sw row — the only design whose VPU
+    work does not scale with weight count."""
+
+    def kernel(xq_ref, w_ref, se_ref, o_ref, acc_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc = acc_ref[...]
+        for s in range(slabs_per_step):
+            lo = s * I8G_SLAB
+            p = jax.lax.dot(
+                xq_ref[:, lo : lo + I8G_SLAB],
+                w_ref[lo : lo + I8G_SLAB, :],
+                preferred_element_type=jnp.int32,
+            )
+            se = se_ref[pl.ds(j * slabs_per_step + s, 1), :]
+            acc += p.astype(jnp.float32) * se
+        acc_ref[...] = acc
+        o_ref[...] = acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret"))
+def _qmm_i8g_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 512,
+                    block_k: int = 2048, interpret: bool = False):
+    """y = x @ W^T for the i8g layout.
+
+    Per call (jnp, O(M*K)): quantize activations to int8 on a per-slab
+    absmax grid (sx [Kp/S]), premultiply sw_eff = sx*sw. The kernel then
+    runs pure int8 MXU dots with f32 accumulation of scaled step outputs
+    (counterpart of the reference's q8 activation path,
+    ggml-quants.c ggml_vec_dot_q4_K_q8_K — re-derived for the MXU)."""
+    n, k = qt.shape
+    kp = qt.qs.shape[0]
+    nslab = kp // I8G_SLAB
+    m = x.shape[0]
+    m_pad = max(32, -(-m // 32) * 32)  # int8 min sublane tile
+    xp = _pad_rows(x.astype(jnp.float32), m_pad)
+    if kp != k:
+        xp = jnp.pad(xp, ((0, 0), (0, kp - k)))
+    xs = xp.reshape(m_pad, nslab, I8G_SLAB)
+    sx = jnp.maximum(jnp.abs(xs).max(axis=(0, 2)), 1e-20) / 127.0  # [nslab]
+    xq = jnp.round(xs / sx[None, :, None]).astype(jnp.int8).reshape(m_pad, kp)
+    sw_eff = qt.scales * sx[:, None]  # [nslab, N]
+
+    bk = max(I8G_SLAB, min(block_k, kp))
+    while kp % bk:
+        bk -= I8G_SLAB
+    grid = (n // block_n, kp // bk)
+
+    out = pl.pallas_call(
+        _i8g_kernel(bk // I8G_SLAB),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_pad, bk), lambda i, j: (0, j)),
+            pl.BlockSpec((bk, block_n), lambda i, j: (j, i)),
+            pl.BlockSpec((nslab, block_n), lambda i, j: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((m_pad, block_n), lambda i, j: (0, i)),
+        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=qt.nbytes() + m_pad * k + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, qt.qs, sw_eff)
+    return out[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _qmm_i8_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256, interpret: bool = False):
+    """i8-planar fused dequant x matmul: W^T int8 [K, N] + scale/bias
+    [K/G, N]; per grid step a (ku*G, block_n) slab is cast, scaled, and fed
+    to the MXU in bf16 (counterpart of the reference's q-weight dot
+    kernels, ggml-quants.c ggml_vec_dot_*; re-designed around Mosaic's
+    strengths — casts and broadcasts, no sublane bit surgery)."""
+    n, k = qt.shape
+    group = qt.group
+    ngroups = k // group
+    m = x.shape[0]
+    m_pad = max(16, -(-m // 16) * 16)
+    xp = _pad_rows(x.astype(jnp.bfloat16), m_pad)
+
+    # Mosaic requires the scales block's sublane dim (ku) be a multiple of
+    # 8 or the full array; pick the largest 8-multiple divisor of ngroups
+    # under the VMEM cap, falling back to the whole-K slab for small K
+    cap = max(1, 2048 // group)
+    if ngroups % 8 == 0 and cap >= 8:
+        ku = 8 * _largest_divisor(ngroups // 8, cap // 8)
+    else:
+        ku = ngroups
+    slab = ku * group
+    grid = (n // block_n, ngroups // ku)
+    has_bias = qt.qtype != GGMLQuantType.Q8_0
+
+    in_specs = [
+        pl.BlockSpec((m_pad, slab), lambda i, j: (0, j)),
+        pl.BlockSpec((slab, block_n), lambda i, j: (j, i)),
+        pl.BlockSpec((ku, block_n), lambda i, j: (j, i)),
+    ]
+    args = [xp, qt.qs, qt.scales]
+
+    out = pl.pallas_call(
+        _i8_kernel(group, ku),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((m_pad, block_n), lambda i, j: (0, i)),
+        scratch_shapes=[pltpu.VMEM((m_pad, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=qt.nbytes() + m_pad * k * 2 + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+    if has_bias:
+        xg = _pad_rows(x.astype(jnp.float32), m_pad).reshape(
+            m_pad, ngroups, group
+        ).sum(-1)
+        out = out - jnp.dot(xg, qt.bias, preferred_element_type=jnp.float32)
+    return out[:m]
+
+
 def _pallas_supported(qt: QuantTensor) -> bool:
     n, k = qt.shape
+    if qt.layout == "i8g":
+        return n % 128 == 0
+    if qt.layout == "k4":
+        return n % 128 == 0  # K constraints guaranteed at load
+    if qt.layout == "i8":
+        return k % qt.group == 0 and n % 128 == 0
     return qt.layout == "k_major" and k % PACK_GROUP == 0 and n % 128 == 0
 
 
@@ -383,7 +859,15 @@ def qmatmul(
         on_tpu = jax.devices()[0].platform == "tpu"
         use_pallas = on_tpu and _pallas_supported(qt)
     if use_pallas:
+        if qt.layout == "i8g":
+            block_n = 512 if qt.shape[0] % 512 == 0 else (
+                256 if qt.shape[0] % 256 == 0 else 128)
+            return _qmm_i8g_pallas(x, qt, block_n=block_n, interpret=interpret)
         block_n = 256 if qt.shape[0] % 256 == 0 else 128
+        if qt.layout == "k4":
+            return _qmm_k4_pallas(x, qt, block_n=block_n, interpret=interpret)
+        if qt.layout == "i8":
+            return _qmm_i8_pallas(x, qt, block_n=block_n, interpret=interpret)
         return _qmm_pallas(x, qt, block_n=block_n, interpret=interpret)
     w_t = dequant_T(qt, jnp.bfloat16)
     return jnp.dot(x.astype(jnp.bfloat16), w_t, preferred_element_type=jnp.float32)

@@ -344,6 +344,35 @@ def pack_array(x: np.ndarray, qtype: GGMLQuantType) -> PackedWeight:
 # ---------------------------------------------------------------------------
 
 
+def unpack_quants(pw: PackedWeight) -> np.ndarray:
+    """Decode a PackedWeight's integer quants to int16 [N, K] (0..63 for
+    k-quants, -128..127 for Q8_0) — the i8-planar device layout source."""
+    n, k = pw.shape
+    bits = pw.bits
+    pg = min(PACK_GROUP, k)
+    if bits == 8:
+        return pw.qs.astype(np.int16).reshape(n, k)
+    if bits in (4, 5, 6):
+        b = pw.qs.reshape(n, k // pg, pg // 2)
+        q = np.concatenate([b & 0xF, b >> 4], axis=2).astype(np.int16)
+    else:
+        b = pw.qs.reshape(n, k // pg, pg // 4)
+        q = np.concatenate([(b >> (2 * i)) & 3 for i in range(4)], axis=2).astype(np.int16)
+    if bits == 5:
+        h = pw.qh.reshape(n, k // pg, pg // 8)
+        hb = np.concatenate([(h >> i) & 1 for i in range(8)], axis=2)
+        q = q | (hb << 4)
+    elif bits == 6:
+        h = pw.qh.reshape(n, k // pg, pg // 4)
+        hb = np.concatenate([(h >> (2 * i)) & 3 for i in range(4)], axis=2)
+        q = q | (hb << 4)
+    elif bits == 3:
+        h = pw.qh.reshape(n, k // pg, pg // 8)
+        hb = np.concatenate([(h >> i) & 1 for i in range(8)], axis=2)
+        q = q | (hb << 2)
+    return q.reshape(n, k)
+
+
 def unpack_to_float(pw: PackedWeight) -> np.ndarray:
     """Decode a PackedWeight back to float32 [N, K]. Matches
     formats.dequantize of the original payload bit-for-bit."""
