@@ -210,7 +210,13 @@ class StagedInferenceContext:
                 self.n_prefill += _n
             return host
 
-        return AsyncHandle(logits=x, fetch=fetch, cells=cells)
+        if not hasattr(self, "_fetch_pool"):
+            import concurrent.futures as _cf
+
+            self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        return AsyncHandle(logits=x, fetch=fetch, cells=cells).start_fetch(
+            self._fetch_pool
+        )
 
     # -- allocation (host mirror, shared across stages) ----------------------
 

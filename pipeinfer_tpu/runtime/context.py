@@ -49,15 +49,32 @@ def _bucket(n: int) -> int:
 
 @dataclasses.dataclass
 class AsyncHandle:
-    """A dispatched decode: device work in flight, logits not yet on host."""
+    """A dispatched decode: device work in flight, logits not yet on host.
+
+    When constructed with an executor, the host fetch starts EAGERLY on a
+    worker thread: on this machine's tunneled runtime a fetch costs ~30 ms
+    RTT and `jax.Array.is_ready()` returns at remote enqueue (useless as a
+    completion probe), so true readiness = "the bytes are on this host".
+    The eager fetch overlaps that RTT with the controller's drafting work —
+    the analogue of the reference head overlapping speculation with the
+    tail's SYNC_LOGITS Bsend being in flight."""
 
     logits: jax.Array
     fetch: Callable[[], np.ndarray]
     cells: np.ndarray
+    _future: object | None = None
+
+    def start_fetch(self, executor) -> "AsyncHandle":
+        fn = self.fetch
+        self._future = executor.submit(fn)
+        self.fetch = self._future.result
+        return self
 
     def ready(self) -> bool:
         """Non-blocking completion check — the counterpart of the head's
         llama_mpi_iprobe(SYNC_LOGITS) (ref: llama.cpp:5457-5459)."""
+        if self._future is not None:
+            return self._future.done()
         try:
             return self.logits.is_ready()
         except AttributeError:  # non-jax fallback
@@ -144,6 +161,12 @@ class InferenceContext:
         self.h_seq = np.zeros(n_cells, np.uint64)
         self.trash_cell = n_cells - 1
         self._step_cache: dict[int, Callable] = {}
+        # eager-fetch worker: one thread serializes host transfers so
+        # decode_async handles become ready as soon as bytes land (~30 ms
+        # tunnel RTT overlapped with controller work)
+        import concurrent.futures as _cf
+
+        self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=1)
         # timings (ref: llama_print_timings)
         self.t_eval = 0.0
         self.n_eval = 0
@@ -373,7 +396,9 @@ class InferenceContext:
                 self.n_prefill += _n
             return host
 
-        return AsyncHandle(logits=out, fetch=fetch, cells=cells)
+        return AsyncHandle(logits=out, fetch=fetch, cells=cells).start_fetch(
+            self._fetch_pool
+        )
 
     # -- embedding input (the llama_batch.embd path: multimodal tokens) ----
 
