@@ -97,6 +97,10 @@ def main():
     ap.add_argument("--n-predict", type=int, default=0)
     ap.add_argument("--eps", type=float, default=0.0,
                     help="upper-layer residual scale: 0 = bit-exact draft")
+    ap.add_argument("--compare", action="store_true",
+                    help="also run the synchronous-speculation baseline and "
+                         "append {Sequential, Speculative, PipeInfer} rows "
+                         "to results.csv (the reference's plot.py matrix)")
     args = ap.parse_args()
     if args.quick:
         args.scale = "toy"
@@ -115,7 +119,7 @@ def main():
     from pipeinfer_tpu.tools import testmodel
 
     tmp = Path(tempfile.gettempdir())
-    tag = f"{args.scale}_e{args.eps:g}"
+    tag = f"v2_{args.scale}_e{args.eps:g}"  # v2: deterministic-margin pair
     tgt_path = tmp / f"bench_{tag}_tgt.gguf"
     dft_path = tmp / f"bench_{tag}_dft.gguf"
     if not (tgt_path.exists() and dft_path.exists()):
@@ -218,10 +222,11 @@ def main():
         log(f"baseline decode: {base_tps:.2f} tok/s ({ms_tok:.2f} ms/tok)")
 
     # ---- PipeInfer async speculation -----------------------------------
-    # p_accept=0: random-weight drafts have flat softmax; the top-prob gate
-    # would stop drafting immediately (real models pass 0.1+). Deep chains
+    # p_accept=0.1: the reference's tuning floor (README.md:191-220); the
+    # margin-design bench models draft with top-prob ~1.0 so the gate
+    # passes whenever the draft is actually confident. Deep chains
     # amortize the host-dispatch RTT (the tunnel adds ~30ms per round trip)
-    sp = SpecParams(n_draft=CHAIN, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=4)
+    sp = SpecParams(n_draft=CHAIN, n_parallel=1, p_accept=0.1, p_split=0.9, max_inflight=4)
     ctx_t2 = InferenceContext(tparams, tcfg, n_cells=n_cells)
     ctx_d2 = InferenceContext(dparams, dcfg, n_cells=n_cells)
     c_warm = PipeInferController(ctx_t2, ctx_d2, GREEDY, sp, eos_id=-1)
@@ -254,6 +259,43 @@ def main():
     k = min(len(base_tokens), len(spec_tokens))
     if spec_tokens[:k] != base_tokens[:k]:
         log("WARNING: speculative tokens diverge from baseline (greedy)")
+
+    # ---- synchronous tree speculation (the reference's "Speculative") ----
+    sync_tps = 0.0
+    if args.compare:
+        from pipeinfer_tpu.spec.sync_spec import SyncSpeculator
+
+        eng = SyncSpeculator(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams, dcfg, n_cells=n_cells),
+            GREEDY, sp, eos_id=-1,
+        )
+        eng.generate(list(prompt), min(n_predict, 2 * CHAIN))  # warm
+        eng2 = SyncSpeculator(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams, dcfg, n_cells=n_cells),
+            GREEDY, sp, eos_id=-1,
+        )
+        t0 = time.time()
+        sync_tokens = eng2.generate(list(prompt), n_predict)
+        sync_dt = time.time() - t0
+        sync_tps = len(sync_tokens) / sync_dt
+        log(f"sync-speculative decode: {sync_tps:.2f} tok/s "
+            f"(accept {100 * eng2.stats.accept_rate:.1f}%)")
+
+        # results.csv rows in the reference's schema, labeled model:impl
+        # (ref: speculative.cpp:693-710 append + plot.py grouping)
+        itl = float(np.median(m.inter_token_s)) if m.inter_token_s else 0.0
+        enc_tps = len(prompt) / max(t_prefill, 1e-9)
+        with open("results.csv", "a") as f:
+            f.write(f"{enc_tps:.3f},{base_tps:.3f},{ms_tok / 1e3:.6f},"
+                    f"{t_prefill:.6f},{args.scale}:Sequential\n")
+            f.write(f"{enc_tps:.3f},{sync_tps:.3f},{sync_dt / max(len(sync_tokens), 1):.6f},"
+                    f"{t_prefill:.6f},{args.scale}:Speculative\n")
+            f.write(f"{enc_tps:.3f},{spec_tps:.3f},{itl:.6f},"
+                    f"{m.ttft_s:.6f},{args.scale}:PipeInfer\n")
+        log("results.csv += {Sequential, Speculative, PipeInfer} rows "
+            "(render: pipeinfer-results results.csv --plot bench.png)")
 
     print(
         json.dumps(

@@ -77,6 +77,12 @@ class SyncSpeculator:
         self.eos_id = eos_id
         self.grammar = grammar
         self.stats = SpecStats()
+        # sparse logits head (same gating as the async controller): host
+        # fetch bandwidth over the tunnel bounds decode, so ship top-K +
+        # normalizer instead of full vocab rows when samplers allow it
+        self.topk: int | None = None
+        if sampling.mirostat == 0 and not sampling.logit_bias and grammar is None:
+            self.topk = 128
 
     def generate(self, prompt_ids: list[int], n_predict: int, *, ignore_eos=False, stream=None):
         tgt, dft, sp = self.ctx_tgt, self.ctx_dft, self.sp
@@ -88,7 +94,7 @@ class SyncSpeculator:
         b = Batch()
         for i, t in enumerate(prompt_ids):
             b.add(t, i, 0, want_logits=(i == len(prompt_ids) - 1))
-        logits = tgt.decode(b)[-1]
+        logits = tgt.decode(b, self.topk)[-1]
         dft.decode(b)
         n_past = len(prompt_ids)
 
@@ -132,13 +138,14 @@ class SyncSpeculator:
                 dft_base=n_past,
                 tgt_base=n_past + 1,
                 batch_tgt=batch_tgt,
+                topk=self.topk,
             )
             self.stats.n_drafted += n_drafted
             for br in branches:
                 if br.tokens:
                     br.tokens.pop(0)  # strip chained root
 
-            logits = tgt.decode(batch_tgt)
+            logits = tgt.decode(batch_tgt, self.topk)
 
             # verify
             # verify the round to its NATURAL end (mismatch or drafts

@@ -1,7 +1,8 @@
-"""Summarize results.csv runs (ref: plot.py — which bar-charts
-Speed/ITL/TTFT per {Sequential, Speculative, PipeInfer} × model). This tool
-renders the same comparison as a text table; pipe into your plotting
-environment of choice for graphics."""
+"""Summarize results.csv runs and render the comparison charts
+(ref: plot.py — bar-charts of Speed/ITL/TTFT per
+{Sequential, Speculative, PipeInfer} × model). Rows labeled "model:impl"
+(e.g. "7b:PipeInfer") are grouped exactly like the reference's charts;
+other labels get one bar each."""
 
 from __future__ import annotations
 
@@ -33,24 +34,53 @@ def load(path: str) -> list[dict]:
 
 def plot(rows: list[dict], out_path: str):
     """Render the reference's three-panel bar chart (ref: plot.py:33-48 —
-    Speed / avg ITL / TTFT per labeled run)."""
+    Speed / avg ITL / TTFT). Labels of the form "model:impl" are grouped
+    with one bar color per model and impls along the x axis, exactly like
+    the reference's {Sequential, Speculative, PipeInfer} comparison."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    labels = [r["label"] for r in rows]
     panels = [
-        ("Speed (tokens/s)", [r["decode_tps"] for r in rows]),
-        ("Avg inter-token latency (ms)", [r["avg_itl_s"] * 1e3 for r in rows]),
-        ("TTFT (ms)", [r["ttft_s"] * 1e3 for r in rows]),
+        ("Speed (tokens/s)", "decode_tps", 1.0),
+        ("Avg inter-token latency (ms)", "avg_itl_s", 1e3),
+        ("TTFT (ms)", "ttft_s", 1e3),
     ]
-    fig, axes = plt.subplots(1, 3, figsize=(12, 4))
-    for ax, (title, vals) in zip(axes, panels):
-        ax.bar(range(len(vals)), vals)
-        ax.set_xticks(range(len(labels)))
-        ax.set_xticklabels(labels, rotation=30, ha="right", fontsize=8)
-        ax.set_title(title)
+    fig, axes = plt.subplots(1, 3, figsize=(13, 4))
+
+    grouped = all(":" in r["label"] for r in rows)
+    if grouped:
+        models, impls = [], []
+        for r in rows:
+            mdl, impl = r["label"].split(":", 1)
+            if mdl not in models:
+                models.append(mdl)
+            if impl not in impls:
+                impls.append(impl)
+        width = 0.8 / max(1, len(models))
+        for ax, (title, key, scale) in zip(axes, panels):
+            for mi, mdl in enumerate(models):
+                vals = []
+                for impl in impls:
+                    v = [r[key] * scale for r in rows
+                         if r["label"] == f"{mdl}:{impl}"]
+                    vals.append(v[-1] if v else 0.0)
+                xs = [i + width * mi for i in range(len(impls))]
+                bars = ax.bar(xs, vals, width, label=mdl)
+                ax.bar_label(bars, padding=3, fmt="%.3g", fontsize=7)
+            ax.set_xticks([i + width * (len(models) - 1) / 2 for i in range(len(impls))])
+            ax.set_xticklabels(impls, fontsize=8)
+            ax.set_title(title)
+            ax.legend(fontsize=7)
+    else:
+        labels = [r["label"] for r in rows]
+        for ax, (title, key, scale) in zip(axes, panels):
+            vals = [r[key] * scale for r in rows]
+            ax.bar(range(len(vals)), vals)
+            ax.set_xticks(range(len(labels)))
+            ax.set_xticklabels(labels, rotation=30, ha="right", fontsize=8)
+            ax.set_title(title)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
