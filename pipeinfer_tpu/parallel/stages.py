@@ -213,7 +213,7 @@ class StagedInferenceContext:
         if not hasattr(self, "_fetch_pool"):
             import concurrent.futures as _cf
 
-            self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=1)
+            self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=4)
         return AsyncHandle(logits=x, fetch=fetch, cells=cells).start_fetch(
             self._fetch_pool
         )

@@ -161,12 +161,12 @@ class InferenceContext:
         self.h_seq = np.zeros(n_cells, np.uint64)
         self.trash_cell = n_cells - 1
         self._step_cache: dict[int, Callable] = {}
-        # eager-fetch worker: one thread serializes host transfers so
-        # decode_async handles become ready as soon as bytes land (~30 ms
-        # tunnel RTT overlapped with controller work)
+        # eager-fetch workers: host transfers start at dispatch and OVERLAP
+        # on the wire (the tunnel RTT is ~30 ms/transfer; a single worker
+        # would re-serialize one RTT per in-flight run)
         import concurrent.futures as _cf
 
-        self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=4)
         # timings (ref: llama_print_timings)
         self.t_eval = 0.0
         self.n_eval = 0
@@ -610,6 +610,54 @@ def _shared_step(forward, cfg, topk):
         return packed, cache
 
     return step
+
+
+@functools.lru_cache(maxsize=None)
+def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, n_cand, topk):
+    """ONE program per speculative run: draft-chain `depth` tokens on the
+    draft model (lax.scan) and immediately batch-verify them on the target
+    — the drafted tokens never leave the device between the two phases.
+    The reference pays (depth draft decodes + 1 target dispatch) worth of
+    host round trips per run; here a run is one dispatch + one eager fetch
+    of a combined [depth, 2*topk+1 + 2*n_cand+2] row pack (target sparse
+    logits ++ chain token ++ draft candidates).
+    (ref: start_async_spec_run speculative.cpp:881-1180 collapsed into the
+    phase-0 dispatch; phase 1 = the eager fetch.)"""
+
+    @functools.partial(jax.jit, donate_argnums=(1, 3))
+    def fused(dparams, dcache, tparams, tcache,
+              root_token, dpos0, dseq_id, dcells,
+              tpos, tseq, tcells, tseq_bits):
+        def body(carry, i):
+            dcache, tok, pos = carry
+            logits, dcache = fwd_d(
+                dparams, cfg_d, dcache,
+                tok[None], pos[None], dseq_id[None], dcells[i][None],
+                jnp.ones(1, bool), None,
+            )
+            row = logits[0]
+            lse = jax.scipy.special.logsumexp(row)
+            vals, ids = jax.lax.top_k(row, n_cand)
+            packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
+            return (dcache, ids[0], pos + 1), (ids[0], packed)
+
+        (dcache, _, _), (toks, dpacks) = jax.lax.scan(
+            body, (dcache, root_token.astype(jnp.int32), dpos0), jnp.arange(depth)
+        )
+
+        tlogits, tcache = fwd_t(
+            tparams, cfg_t, tcache, toks, tpos, tseq, tcells,
+            jnp.ones(depth, bool), tseq_bits,
+        )
+        lse = jax.scipy.special.logsumexp(tlogits, axis=-1)
+        vals, ids = jax.lax.top_k(tlogits, topk)
+        tpacked = jnp.concatenate([vals, ids.astype(jnp.float32), lse[:, None]], axis=1)
+        out = jnp.concatenate(
+            [tpacked, toks.astype(jnp.float32)[:, None], dpacks], axis=1
+        )
+        return out, dcache, tcache
+
+    return fused
 
 
 @functools.lru_cache(maxsize=None)

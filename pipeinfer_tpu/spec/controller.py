@@ -45,7 +45,7 @@ import numpy as np
 
 from ..runtime.context import AsyncHandle, Batch, InferenceContext
 from ..sampling.samplers import SamplerState, SamplingParams, sample
-from . import drafting
+from . import drafting, fused
 from .params import SpecParams
 from .sync_spec import SpecStats, draft_sampler_proto
 
@@ -69,6 +69,10 @@ class AsyncRun:
     # its cell at base-1 must be consolidated with the tree
     dft_root_redecoded: bool = False
     n_drafted: int = 0  # drafted tokens this run carries (spec only)
+    # fused run (spec/fused.py): branches[0].tokens is None until the eager
+    # fetch lands; handle.fetch() returns (logits, tokens, draft candidates)
+    fused: bool = False
+    dft_cands: list | None = None
 
 
 @dataclasses.dataclass
@@ -166,14 +170,17 @@ class PipeInferController:
         # this is what keeps the pipeline full (the reference pays a
         # begin_non_spec_run + chain restart every verify; see its FIXME at
         # speculative.cpp:366).
-        self.chain_tokens: list[int] = []
+        self.chain_tokens = fused.ChainBuf()
         self.chain_base = 0
         self.spec_base = 0  # next tree base position (target & draft symmetric)
-        self.chain_root: int | None = None
+        self.chain_root = None  # int | device int32 scalar (fused chaining)
         self.chain_root_dft_logits: np.ndarray | None = None
         self.chain_prev_offset: int | None = None
         # positions [0, seq0_frontier) have cells on sequence 0
         self.seq0_frontier = 0
+        # fused dispatch (one program per run, device-chained roots): see
+        # spec/fused.py for eligibility; falls back to host drafting
+        self.use_fused = fused.supported(self)
 
     # -- helpers ------------------------------------------------------------
 
@@ -223,6 +230,9 @@ class PipeInferController:
         offset = self.free_offsets.popleft()
         first = not self.chain_tokens
         src_seq = self.seq_base if first else self.chain_prev_offset  # branch 0 of prev run
+
+        if self.use_fused:
+            return self._launch_spec_fused(offset, src_seq)
 
         root_redecode = self.chain_root_dft_logits is None
         dft_hi = self.spec_base - 1 if root_redecode else self.spec_base
@@ -291,11 +301,53 @@ class PipeInferController:
 
         # chain down branch 0 (ref: id = drafts[0].tokens.back())
         if depth0 > 0:
-            self.chain_tokens.extend(branches[0].tokens)
+            self.chain_tokens.extend_host(branches[0].tokens)
             self.chain_root = branches[0].tokens[-1]
             self.chain_root_dft_logits = last_dft_logits
             self.chain_prev_offset = offset
             self.spec_base += depth0
+        return True
+
+    def _launch_spec_fused(self, offset: int, src_seq: int) -> bool:
+        """One-dispatch speculative run (spec/fused.py): the draft chain and
+        the target verify execute in the same program; the next run chains
+        from a device scalar, so launches never wait on a host fetch."""
+        sp = self.sp
+        depth = sp.n_draft
+        self.tgt.prepare_branch_seqs([offset], src_seq, self.spec_base)
+        self.dft.prepare_branch_seqs([offset], src_seq, self.spec_base - 1)
+
+        handle, next_root = fused.launch(
+            self.dft, self.tgt,
+            root=self.chain_root, spec_base=self.spec_base,
+            offset=offset, depth=depth, topk=self.topk,
+        )
+        br = drafting.DraftBranch(active=True)
+        br.tokens = None  # pending until the eager fetch lands
+        self.stats.n_drafted += depth
+        run = AsyncRun(
+            handle=handle,
+            batch=Batch(),
+            branches=[br],
+            base=self.spec_base,
+            prefix_base=self.chain_base,
+            assumed_prefix=self.chain_tokens.view(),
+            max_decide=self.spec_base + depth,
+            dft_base=self.spec_base,
+            seq_offset=offset,
+            speculative=True,
+            dft_root_redecoded=True,
+            n_drafted=depth,
+            fused=True,
+        )
+        self.runs.append(run)
+        self.metrics.n_runs += 1
+        self.metrics.n_dispatched_tokens += depth
+        self.chain_tokens.extend_run(run, depth)
+        self.chain_root = next_root
+        self.chain_root_dft_logits = None
+        self.chain_prev_offset = offset
+        self.spec_base += depth
         return True
 
     # -- cancellation -------------------------------------------------------
@@ -309,18 +361,20 @@ class PipeInferController:
             if run.max_decide < self.n_committed:
                 run.canceled = True
                 continue
-            ok = True
-            for i, t in enumerate(run.assumed_prefix):
-                pos = run.prefix_base + i
-                if pos < self.n_committed and self._token_at(pos) != t:
-                    ok = False
-                    break
+            # compare only positions already committed: beyond them the
+            # assumed values may still be in flight (fused runs resolve
+            # through their own eager fetch)
+            ap = run.assumed_prefix
+            n = min(len(ap), max(0, self.n_committed - run.prefix_base))
+            ok = all(
+                self._token_at(run.prefix_base + i) == ap[i] for i in range(n)
+            )
             if not ok:
                 run.canceled = True
 
     def _discard(self, run: AsyncRun):
         self.metrics.n_canceled_runs += 1
-        self.metrics.n_dead_tokens += len(run.batch)
+        self.metrics.n_dead_tokens += len(run.batch) or run.n_drafted
         if run.speculative:
             self.free_offsets.append(run.seq_offset)
             if self.chain_prev_offset == run.seq_offset:
@@ -440,13 +494,20 @@ class PipeInferController:
             return
 
         # consume the committed prefix of the chain; intact = every newly
-        # committed token matched the assumed continuation
+        # committed token matched the assumed continuation. A fused chain
+        # token still in flight DEFERS the decision: in-flight runs carry
+        # lazily-checked assumptions (check_for_cancel), verification never
+        # commits unvetted tokens, and the reseed happens at the retire
+        # that resolves the value (or via the dead-pipeline reseed).
         intact = True
         while self.chain_tokens and self.chain_base < self.n_committed:
-            if self.chain_tokens[0] != self._token_at(self.chain_base):
+            head = self.chain_tokens.head_if_resolved()
+            if head is None:
+                return  # decision deferred
+            if head != self._token_at(self.chain_base):
                 intact = False
                 break
-            self.chain_tokens.pop(0)
+            self.chain_tokens.pop_front()
             self.chain_base += 1
         if self.n_committed > self.spec_base:
             intact = False  # generation moved past everything drafted
@@ -456,8 +517,12 @@ class PipeInferController:
         if intact and (self.chain_tokens or self.chain_root is not None):
             return  # pipeline stays full; in-flight chained runs remain valid
 
-        # divergence (or no chain yet): reset the frontier. The safety run
-        # guarantees forward progress and a seq-0 cell for the bonus token.
+        self._reseed_frontier()
+
+    def _reseed_frontier(self):
+        """Divergence (or no chain yet): reset the speculation frontier.
+        The safety run guarantees forward progress and a seq-0 cell for the
+        bonus token."""
         bonus = self.generated[-1]
         bonus_pos = self.n_committed - 1
         if self.seq0_frontier < self.n_committed:
@@ -474,7 +539,7 @@ class PipeInferController:
         self.chain_root_dft_logits = None
         self.chain_root = bonus
         self.chain_prev_offset = None
-        self.chain_tokens = []
+        self.chain_tokens.clear()
         self.chain_base = self.n_committed
         self.spec_base = self.n_committed
 
@@ -574,8 +639,16 @@ class PipeInferController:
             # drop without fetching: no host transfer for dead work (the
             # device compute itself is unabortable; see dead_work_frac)
             self._discard(run)
+            if not any(not r.canceled for r in self.runs):
+                # whole pipeline died (deferred divergence): reseed so
+                # generation keeps making progress
+                self._reseed_frontier()
             return False
-        logits = run.handle.fetch()
+        if run.fused:
+            logits, _, _ = run.handle.fetch()
+            fused.run_tokens(run)  # fill branches from the cached fetch
+        else:
+            logits = run.handle.fetch()
         self.stats.n_rounds += 1
         return self._verify(run, logits, n_predict, stream)
 
