@@ -146,15 +146,49 @@ def main():
     ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
 
     # ---- parallel warm-compile of every program variant ----------------
+    # the fused controller needs: the fused spec program, target step[1]
+    # (safety runs) + step[32] (prefill), draft step[32] (prefill), seq
+    # ops, and the target chain (the sequential baseline itself). All warm
+    # CONCURRENTLY — the remote compile service overlaps compiles and the
+    # persistent cache makes warm starts deserialization-bound.
+    import concurrent.futures as cf
+
+    import jax as _jax
+    import jax.numpy as _jnp
+    from pipeinfer_tpu.runtime import kv_cache as _kv
+    from pipeinfer_tpu.runtime.context import _shared_fused_spec
+
+    def warm_fused():
+        fn = _shared_fused_spec(
+            ctx_d._forward, dcfg, ctx_t._forward, tcfg, CHAIN, 8, TOPK
+        )
+        dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
+        tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
+        depth = CHAIN
+        out, _, _ = fn(
+            ctx_d.params, dc, ctx_t.params, tc,
+            np.int32(1), np.int32(0), np.int32(1),
+            np.full(depth, ctx_d.trash_cell, np.int32),
+            np.arange(depth, dtype=np.int32),
+            np.full(depth, 1, np.int32),
+            np.full(depth, ctx_t.trash_cell, np.int32),
+            np.zeros((depth, _kv.SEQ_WORDS), np.uint32),
+        )
+        np.asarray(out[0, 0])
+        return []
+
     t0 = time.time()
-    errs = ctx_t.precompile(
-        buckets=(1, 8, 32), topk=TOPK, chain_depths=(CHAIN,), seq_groups=(1,),
-        max_workers=4, log=log,
-    )
-    errs += ctx_d.precompile(
-        buckets=(32,), topk=None, chain_depths=(CHAIN,), seq_groups=(1,),
-        max_workers=4, log=log,
-    )
+    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+        futs = [
+            ex.submit(ctx_t.precompile, buckets=(1, 32), topk=TOPK,
+                      chain_depths=(CHAIN,), seq_groups=(1,), max_workers=4, log=log),
+            ex.submit(ctx_d.precompile, buckets=(32,), topk=None,
+                      chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
+            ex.submit(warm_fused),
+        ]
+        errs = []
+        for f in futs:
+            errs += f.result()
     bad = [e for _, e in errs if e is not None]
     if bad:
         log(f"warmup errors: {bad}")
