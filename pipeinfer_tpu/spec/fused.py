@@ -41,8 +41,10 @@ def supported(ctrl) -> bool:
         and ctrl.topk is not None
         and ctrl.sampler.grammar is None
         and no_penalties
-        and ctrl.tgt.mesh is None
-        and ctrl.dft.mesh is None
+        # single-device InferenceContexts only (staged pipeline contexts
+        # have no .mesh attribute and use the host drafting path)
+        and getattr(ctrl.tgt, "mesh", object()) is None
+        and getattr(ctrl.dft, "mesh", object()) is None
     )
 
 

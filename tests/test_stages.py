@@ -94,6 +94,43 @@ def test_pipeinfer_over_staged_pipeline(model):
     assert c.stats.n_accept > 0
 
 
+def test_pipeinfer_staged_fused_eligible_sampling(model):
+    """Greedy-no-penalty sampling is fused-ELIGIBLE, but staged contexts
+    have no single-device mesh: the controller must detect this and use
+    the host drafting path (regression: fused.supported read .mesh, which
+    StagedInferenceContext does not have)."""
+    params, cfg = model
+    if len(jax.devices()) < 3:
+        pytest.skip("needs 3 devices")
+    # pure-argmax golden (no penalties — matching the controller's params)
+    ctx = InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+    b = Batch()
+    for i, t in enumerate(PROMPT):
+        b.add(t, i, 0, want_logits=(i == len(PROMPT) - 1))
+    logits = ctx.decode(b)[-1]
+    want = []
+    n_past = len(PROMPT)
+    for _ in range(N_PREDICT):
+        tok = int(np.argmax(logits))
+        want.append(tok)
+        b.clear()
+        b.add(tok, n_past, 0)
+        logits = ctx.decode(b)[0]
+        n_past += 1
+
+    tgt = StagedInferenceContext(
+        params, cfg, n_cells=256, devices=jax.devices()[:2], cache_dtype=jnp.float32
+    )
+    dft = InferenceContext(params, cfg, n_cells=256, cache_dtype=jnp.float32)
+    c = PipeInferController(
+        tgt, dft, SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0),
+        SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3), eos_id=-1,
+    )
+    assert not c.use_fused
+    got = c.generate(list(PROMPT), N_PREDICT)
+    assert got == want
+
+
 def test_weighted_split(model):
     params, cfg = model
     stagedc = StagedInferenceContext(
