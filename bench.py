@@ -96,7 +96,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="toy scale, fewer tokens")
     ap.add_argument("--n-predict", type=int, default=0)
     ap.add_argument("--eps", type=float, default=0.0,
-                    help="upper-layer residual scale: 0 = bit-exact draft")
+                    help="draft disagreement fraction: per-token acceptance "
+                         "~ 1-eps (0 = bit-exact draft)")
     ap.add_argument("--compare", action="store_true",
                     help="also run the synchronous-speculation baseline and "
                          "append {Sequential, Speculative, PipeInfer} rows "

@@ -614,6 +614,10 @@ class PipeInferController:
         # hot wait at llama_finish_async_decode, ref :389)
         if self._retire_oldest(self._n_predict, self._stream_cb):
             self._stopped_flag = True
+        if not self._stopped_flag and not self.runs:
+            # nothing in flight and not done (e.g. the pump is blocked at
+            # the generation limit): a safety run guarantees progress
+            self._reseed_frontier()
         return True
 
     def finish_generation(self) -> list[int]:
@@ -658,11 +662,15 @@ class PipeInferController:
         sp = self.sp
         launched_any = False
         it = 0
+        # never draft past the generation limit: positions beyond
+        # prompt + n_predict can't commit, so such runs are pure tail waste
+        limit = len(self.prompt) + getattr(self, "_n_predict", 1 << 30)
         while (
             (not self._oldest_ready() or len(self.runs) < sp.min_inflight)
             and self.free_offsets
             and self.chain_root is not None
             and not (self.chain_tokens and self.chain_prev_offset is None)
+            and self.spec_base < limit
             and sp.p_accept + sp.p_adjust(it, self.n_rejected) < 1.0
         ):
             if not self._launch_spec(sp.p_adjust(it, self.n_rejected)):

@@ -161,13 +161,31 @@ def build_bench_pair(
 ):
     """Synthetic benchmark pair at production shapes.
 
-    The target's lower `draft_layers` form the draft model; upper layers
-    are near-identity residual blocks (output projections scaled by `eps`)
-    so eps=0 gives a bit-exact draft (acceptance ~100%) and eps>0 degrades
-    acceptance realistically. Upper layers share ONE template layer's
-    weights — identical content, distinct HBM buffers, so per-step FLOPs
-    and memory traffic are exactly those of a dense model while the host
-    only quantizes ~2 unique layers (7B quantize in ~1 min, not ~30)."""
+    The target's lower `draft_layers` form the draft model. Every layer's
+    residual contribution is zeroed (wo, w_down = 0 — still quantized,
+    streamed, and multiplied at full FLOPs/bytes; XLA cannot fold runtime
+    buffer contents), and the output head is built so token t maps to
+    perm[t] with a large deterministic logit margin: output[perm[t]] =
+    L * normalize(embed[t]). Random dense weights would give near-uniform
+    logits whose argmax flips under the tiny numeric differences between
+    the draft's device-resident chain program and the target's batched
+    verify program — acceptance would measure XLA reduction order, not
+    speculation (the round-1 "67.7% acceptance with a bit-exact draft"
+    mystery).
+
+    eps controls DRAFT QUALITY deterministically: the draft model's output
+    head uses a permutation that disagrees with the target's on an
+    eps-fraction of tokens, so per-token acceptance is ~(1-eps), the
+    target itself stays margin-clean (greedy output identical to the
+    sequential baseline by construction), and eps>0 exercises divergence,
+    cancellation, and the dead-work meter at any scale. (An earlier design
+    eps-perturbed the target's upper layers — that degrades the TARGET
+    into near-uniform logits, measuring numeric jitter again.)
+
+    Upper layers share ONE template layer's weights — identical content,
+    distinct HBM buffers, so per-step FLOPs and memory traffic are exactly
+    those of a dense model while the host only quantizes ~2 unique layers
+    (7B quantize in ~1 min, not ~30)."""
     from ..quant.formats import quantize
 
     sc = BENCH_SCALES[scale]
@@ -184,17 +202,36 @@ def build_bench_pair(
     def layer_slots():
         return {
             "attn_norm": np.ones(e, np.float32),
-            "wq": r(e, e), "wk": r(kv_dim, e), "wv": r(kv_dim, e), "wo": r(e, e),
+            "wq": r(e, e), "wk": r(kv_dim, e), "wv": r(kv_dim, e),
+            "wo": np.zeros((e, e), np.float32),
             "ffn_norm": np.ones(e, np.float32),
-            "w_gate": r(ff, e), "w_up": r(ff, e), "w_down": r(e, ff),
+            "w_gate": r(ff, e), "w_up": r(ff, e),
+            "w_down": np.zeros((e, ff), np.float32),
         }
 
     draft_layer = layer_slots()  # shared by ALL lower (draft) layers
     upper = layer_slots()
-    upper["wo"] = upper["wo"] * eps
-    upper["w_down"] = upper["w_down"] * eps
-    globals_ = {"tok_embd": r(v, e), "output_norm": np.ones(e, np.float32),
-                "output": r(v, e)}
+
+    embed = r(v, e)
+    u = embed / np.linalg.norm(embed, axis=1, keepdims=True)
+    perm = rng.permutation(v)
+    # residual stream stays embed[t]; logits[j] = output[j]·RMSNorm(embed[t])
+    # = 0.5*sqrt(e)*(u[argsort(perm)][j]·u[t]), peaked at j=perm[t] with
+    # margin ~0.5*sqrt(e)*(1 - max cross-correlation) >> any numeric jitter
+    output = (0.5 * u[np.argsort(perm)]).astype(np.float32)
+    # draft head: same margin design over perm_d, which disagrees with perm
+    # on ~eps of the vocabulary (per-token acceptance ~ 1-eps)
+    if eps:
+        n_bad = max(1, int(round(eps * v)))
+        bad = rng.choice(v, size=n_bad, replace=False)
+        perm_d = perm.copy()
+        perm_d[bad] = perm[np.roll(bad, 1)]
+        output_d = (0.5 * u[np.argsort(perm_d)]).astype(np.float32)
+    else:
+        output_d = output
+    globals_ = {"tok_embd": embed, "output_norm": np.ones(e, np.float32),
+                "output": output}
+    globals_d = dict(globals_, output=output_d)
 
     memo: dict[int, bytes] = {}
 
@@ -205,7 +242,7 @@ def build_bench_pair(
             memo[key] = (qt, np.asarray(quantize(arr, qt)).tobytes())
         return memo[key]
 
-    def write(path, layers, cfg_layers):
+    def write(path, layers, cfg_layers, globals_):
         w = GGUFWriter(path, "llama")
         w.add_arch_kv(Keys.EMBEDDING_LENGTH, e)
         w.add_arch_kv(Keys.BLOCK_COUNT, cfg_layers)
@@ -238,8 +275,8 @@ def build_bench_pair(
     import time as _t
 
     t0 = _t.time()
-    write(tgt_path, [draft_layer] * dl + [upper] * (n_layers - dl), n_layers)
-    write(dft_path, [draft_layer] * dl, dl)
+    write(tgt_path, [draft_layer] * dl + [upper] * (n_layers - dl), n_layers, globals_)
+    write(dft_path, [draft_layer] * dl, dl, globals_d)
     log(f"built {scale} bench pair in {_t.time() - t0:.1f}s "
         f"(eps={eps}, {n_layers}L target / {dl}L draft)")
     return Path(tgt_path), Path(dft_path)
