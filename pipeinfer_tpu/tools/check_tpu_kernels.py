@@ -30,31 +30,40 @@ def main():
     n, k, m = 1024, 2048, 8
     x = rng.standard_normal((m, k)).astype(np.float32)
     results = {}
-    for qtype in pack.FORMAT_INFO:
-        w = rng.standard_normal((n, k)).astype(np.float32)
-        pw = pack.pack_array(w, qtype)
-        qt = to_device(pw)
+
+    def check(label, pw, layout):
+        qt = to_device(pw, layout=layout)
         # golden on host (numpy) to avoid per-format fallback compiles
         want = x @ pack.unpack_to_float(pw).T
         t0 = time.perf_counter()
         got = qmatmul(x, qt, prefer_pallas=True)
-        got.block_until_ready()
+        np.asarray(got)  # is_ready/block_until_ready lie on tunneled runtimes
         compile_s = time.perf_counter() - t0
-        # steady-state timing
+        # steady-state: amortize many calls per fetch (per-dispatch RTT is
+        # ~30 ms on tunneled runtimes and would otherwise dominate)
         iters = 20
         t0 = time.perf_counter()
         for _ in range(iters):
             got = qmatmul(x, qt, prefer_pallas=True)
-        got.block_until_ready()
+        np.asarray(got)
         dt = (time.perf_counter() - t0) / iters
         err = np.abs(np.asarray(got) - want).max() / (np.abs(want).max() + 1e-6)
         ok = err < 0.02
-        results[qtype.name] = ok
+        results[label] = ok
         gbps = qt.nbytes() / dt / 1e9
         print(
-            f"{qtype.name:6s} err={err:.5f} {'OK ' if ok else 'FAIL'} "
+            f"{label:12s} err={err:.5f} {'OK ' if ok else 'FAIL'} "
             f"compile={compile_s:.2f}s steady={dt*1e6:.0f}us ~{gbps:.0f}GB/s"
         )
+
+    for qtype in pack.FORMAT_INFO:
+        w = rng.standard_normal((n, k)).astype(np.float32)
+        pw = pack.pack_array(w, qtype)
+        check(qtype.name, pw, "k_major")
+        # the production TPU layouts
+        check(f"{qtype.name}/i8g", pw, "i8g")
+        if pw.bits == 4:
+            check(f"{qtype.name}/k4", pw, "k4")
     if not all(results.values()):
         raise SystemExit(1)
     print("all kernels OK on", dev.platform)
