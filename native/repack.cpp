@@ -230,6 +230,41 @@ void pack_row(const uint8_t* q, int64_t k, int bits, uint8_t* qs_row, uint8_t* q
 
 }  // namespace
 
+// round(x) clipped to [lo, hi] -> u8/i8. This host's numpy converts
+// float->int at ~2 M elem/s (scalar fallback); these loops vectorize.
+// mode 0: half-to-even (np.round); mode 1: half-away-from-zero (ggml).
+template <typename T>
+static void round_clip_impl(const float* x, int64_t n, float lo, float hi,
+                            T* out, int mode, int n_threads) {
+    if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+    n_threads = (int)std::max<int64_t>(1, std::min<int64_t>(n_threads, std::max<int64_t>(1, n / (1 << 20))));
+    auto work = [&](int64_t a, int64_t b) {
+        if (mode == 0) {
+            for (int64_t i = a; i < b; i++) {
+                float v = x[i];
+                v = v < lo ? lo : (v > hi ? hi : v);
+                out[i] = (T)(int)std::nearbyintf(v);
+            }
+        } else {
+            for (int64_t i = a; i < b; i++) {
+                float v = x[i];
+                v = v < lo ? lo : (v > hi ? hi : v);
+                out[i] = (T)(int)(v + (v >= 0.0f ? 0.5f : -0.5f));
+            }
+        }
+    };
+    if (n_threads == 1) { work(0, n); return; }
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; t++) {
+        int64_t a = t * chunk, b = std::min<int64_t>(n, a + chunk);
+        if (a >= b) break;
+        ts.emplace_back(work, a, b);
+    }
+    for (auto& t : ts) t.join();
+}
+
+
 extern "C" {
 
 // Decode + repack an [n, k] tensor payload into N-major planes.
@@ -324,6 +359,16 @@ void pi_transpose_f32(const float* src, int64_t n, int64_t c, float* dst, int n_
                     dst[j * n + i] = src[i * c + j];
 }
 
-int pi_version() { return 1; }
+void pi_round_clip_u8(const float* x, int64_t n, float lo, float hi,
+                      uint8_t* out, int mode, int n_threads) {
+    round_clip_impl(x, n, lo, hi, out, mode, n_threads);
+}
+
+void pi_round_clip_i8(const float* x, int64_t n, float lo, float hi,
+                      int8_t* out, int mode, int n_threads) {
+    round_clip_impl(x, n, lo, hi, out, mode, n_threads);
+}
+
+int pi_version() { return 2; }
 
 }  // extern "C"

@@ -61,6 +61,12 @@ def get_lib():
     lib.pi_transpose_u8.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int
     ]
+    for name in ("pi_round_clip_u8", "pi_round_clip_i8"):
+        if hasattr(lib, name):
+            getattr(lib, name).argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ]
     _lib = lib
     return _lib
 
@@ -105,6 +111,26 @@ def repack(raw: np.ndarray, qtype: GGMLQuantType, n: int, k: int, n_threads: int
     if rc != 0:
         return None
     return qs, qh, scales, bias
+
+
+def round_clip(x: np.ndarray, lo: float, hi: float, dtype=np.uint8,
+               half_away: bool = False, n_threads: int = 0) -> np.ndarray | None:
+    """round(x) clipped to [lo, hi] as u8/i8 — np.round().astype(int) runs
+    at ~2 M elem/s on this host's numpy (scalar conversion fallback); the
+    native loop vectorizes. half_away=False matches np.round (half-to-
+    even); half_away=True matches ggml's (x + 0.5) truncation rounding."""
+    lib = get_lib()
+    fn_name = "pi_round_clip_u8" if dtype == np.uint8 else "pi_round_clip_i8"
+    if lib is None or not hasattr(lib, fn_name):
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(x.shape, dtype)
+    getattr(lib, fn_name)(
+        x.ctypes.data_as(ctypes.c_void_p), x.size,
+        ctypes.c_float(lo), ctypes.c_float(hi),
+        out.ctypes.data_as(ctypes.c_void_p), 1 if half_away else 0, n_threads,
+    )
+    return out
 
 
 def transpose_u8(a: np.ndarray, n_threads: int = 0) -> np.ndarray | None:

@@ -174,7 +174,12 @@ def quantize_q8_0(x: np.ndarray) -> np.ndarray:
     amax = np.abs(xb).max(axis=1)
     d = amax / 127.0
     id_ = np.where(d != 0.0, 1.0 / np.where(d == 0, 1, d), 0.0)
-    q = _round_half_away(xb * id_[:, None]).astype(np.int8)
+    from .. import native
+
+    q = native.round_clip(xb * id_[:, None], -128.0, 127.0,
+                          dtype=np.int8, half_away=True)
+    if q is None:
+        q = _round_half_away(xb * id_[:, None]).astype(np.int8)
     out = np.empty((len(xb), 34), dtype=U8)
     out[:, 0:2] = _f16_bytes(d)
     out[:, 2:34] = q.view(U8)
@@ -395,11 +400,18 @@ def _fit_affine_groups(g: np.ndarray, qmax: int, smax: int):
     inv_m = np.where(dmin > 0, 1.0 / np.where(dmin == 0, 1, dmin), 0.0)
     sc_q = np.clip(np.round(sc_f * inv_d[:, None]), 0, smax).astype(np.int32)
     m_q = np.clip(np.round(m_f * inv_m[:, None]), 0, smax).astype(np.int32)
-    D = d[:, None, None] * sc_q[:, :, None]
-    M = dmin[:, None, None] * m_q[:, :, None]
+    # keep f32: int32 operands would promote to f64 and this host's numpy
+    # does dtype CONVERSIONS at ~2M elem/s (scalar fallback)
+    D = d[:, None, None] * sc_q.astype(np.float32)[:, :, None]
+    M = dmin[:, None, None] * m_q.astype(np.float32)[:, :, None]
     with np.errstate(divide="ignore", invalid="ignore"):
-        q = np.where(D > 0, np.round((g + M) / np.where(D == 0, 1, D)), 0.0)
-    q = np.clip(q, 0, qmax).astype(U8).reshape(nb, -1)
+        qv = np.where(D > 0, (g + M) / np.where(D == 0, 1, D), np.float32(0.0))
+    from .. import native
+
+    q = native.round_clip(qv, 0.0, float(qmax))  # f32->u8 casts are ~2M
+    if q is None:  # elem/s on this host's numpy; the native loop vectorizes
+        q = np.clip(np.round(qv), 0, qmax).astype(U8)
+    q = q.reshape(nb, -1)
     return d, dmin, sc_q, m_q, q
 
 
@@ -496,8 +508,13 @@ def quantize_q6_K(x: np.ndarray) -> np.ndarray:
     sc_q = np.clip(np.round(sc_f * inv_d[:, None]), -128, 127).astype(np.int8)
     D = d[:, None, None] * sc_q[:, :, None].astype(np.float32)
     with np.errstate(divide="ignore", invalid="ignore"):
-        q = np.where(np.abs(D) > 0, np.round(g / np.where(D == 0, 1, D)), 0.0)
-    q = (np.clip(q, -32, 31) + 32).astype(U8).reshape(nb, 256)  # [0, 63]
+        qv = np.where(np.abs(D) > 0, g / np.where(D == 0, 1, D), 0.0)
+    from .. import native
+
+    q = native.round_clip(qv + 32.0, 0.0, 63.0)  # [-32,31]+32 fused
+    if q is None:
+        q = (np.clip(np.round(qv), -32, 31) + 32).astype(U8)
+    q = q.reshape(nb, 256)  # [0, 63]
 
     out = np.empty((nb, 210), dtype=U8)
     for half in range(2):
