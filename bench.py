@@ -98,6 +98,10 @@ def main():
     ap.add_argument("--eps", type=float, default=0.0,
                     help="draft disagreement fraction: per-token acceptance "
                          "~ 1-eps (0 = bit-exact draft)")
+    ap.add_argument("--draft", type=int, default=0,
+                    help="speculation chain depth (default: CHAIN=32; the "
+                         "reference tunes <=8 for mismatch-heavy drafts)")
+    ap.add_argument("--inflight", type=int, default=4, help="max in-flight runs")
     ap.add_argument("--compare", action="store_true",
                     help="also run the synchronous-speculation baseline and "
                          "append {Sequential, Speculative, PipeInfer} rows "
@@ -106,6 +110,7 @@ def main():
     if args.quick:
         args.scale = "toy"
     n_predict = args.n_predict or (64 if args.quick else 256)
+    n_draft = args.draft or CHAIN
 
     from pipeinfer_tpu.utils import compile_cache
 
@@ -161,11 +166,11 @@ def main():
 
     def warm_fused():
         fn = _shared_fused_spec(
-            ctx_d._forward, dcfg, ctx_t._forward, tcfg, CHAIN, 8, TOPK
+            ctx_d._forward, dcfg, ctx_t._forward, tcfg, n_draft, 8, TOPK
         )
         dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
         tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
-        depth = CHAIN
+        depth = n_draft
         out, _, _ = fn(
             ctx_d.params, dc, ctx_t.params, tc,
             np.int32(1), np.int32(0), np.int32(1),
@@ -261,7 +266,8 @@ def main():
     # margin-design bench models draft with top-prob ~1.0 so the gate
     # passes whenever the draft is actually confident. Deep chains
     # amortize the host-dispatch RTT (the tunnel adds ~30ms per round trip)
-    sp = SpecParams(n_draft=CHAIN, n_parallel=1, p_accept=0.1, p_split=0.9, max_inflight=4)
+    sp = SpecParams(n_draft=n_draft, n_parallel=1, p_accept=0.1, p_split=0.9,
+                    max_inflight=args.inflight)
     ctx_t2 = InferenceContext(tparams, tcfg, n_cells=n_cells)
     ctx_d2 = InferenceContext(dparams, dcfg, n_cells=n_cells)
     c_warm = PipeInferController(ctx_t2, ctx_d2, GREEDY, sp, eos_id=-1)
