@@ -179,6 +179,7 @@ def main():
             np.full(depth, 1, np.int32),
             np.full(depth, ctx_t.trash_cell, np.int32),
             np.zeros((depth, _kv.SEQ_WORDS), np.uint32),
+            np.int32(0),
         )
         np.asarray(out[0, 0])
         return []

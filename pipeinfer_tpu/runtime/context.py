@@ -487,11 +487,15 @@ class InferenceContext:
         self.h_seq[dropped] = 0
         self.h_pos[dropped] = -1
 
-    def prepare_branch_seqs(self, seqs: list[int], src: int, p1: int):
+    def prepare_branch_seqs(self, seqs: list[int], src: int, p1: int, device: bool = True):
         """Fused: clear each branch seq entirely and share src's cells
         [0, p1) into it — one device program instead of 2*len(seqs)
-        (spec-run launch hot path)."""
-        self.cache = _jit_prepare_seqs(self.cache, np.int32(src), np.asarray(seqs, np.int32), np.int32(p1))
+        (spec-run launch hot path). device=False updates only the host
+        mirrors (the fused spec program applies the device side itself)."""
+        if device:
+            self.cache = _jit_prepare_seqs(
+                self.cache, np.int32(src), np.asarray(seqs, np.int32), np.int32(p1)
+            )
         for sq in seqs:
             bit = np.uint64(1) << np.uint64(sq)
             self.h_seq &= ~bit
@@ -627,7 +631,14 @@ def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, n_cand, topk):
     @functools.partial(jax.jit, donate_argnums=(1, 3))
     def fused(dparams, dcache, tparams, tcache,
               root_token, dpos0, dseq_id, dcells,
-              tpos, tseq, tcells, tseq_bits):
+              tpos, tseq, tcells, tseq_bits, src_seq):
+        # branch-seq preparation folded in (was 2 extra dispatches per run):
+        # clear the run's seq slot and share src's prefix cells into it
+        dcache = kv.seq_rm(dcache, dseq_id, 0, -1)
+        dcache = kv.seq_cp(dcache, src_seq, dseq_id, 0, dpos0)
+        tcache = kv.seq_rm(tcache, tseq[0], 0, -1)
+        tcache = kv.seq_cp(tcache, src_seq, tseq[0], 0, tpos[0])
+
         def body(carry, i):
             dcache, tok, pos = carry
             logits, dcache = fwd_d(

@@ -314,13 +314,15 @@ class PipeInferController:
         from a device scalar, so launches never wait on a host fetch."""
         sp = self.sp
         depth = sp.n_draft
-        self.tgt.prepare_branch_seqs([offset], src_seq, self.spec_base)
-        self.dft.prepare_branch_seqs([offset], src_seq, self.spec_base - 1)
+        # device-side seq prep happens INSIDE the fused program; only the
+        # host mirrors update here
+        self.tgt.prepare_branch_seqs([offset], src_seq, self.spec_base, device=False)
+        self.dft.prepare_branch_seqs([offset], src_seq, self.spec_base - 1, device=False)
 
         handle, next_root = fused.launch(
             self.dft, self.tgt,
             root=self.chain_root, spec_base=self.spec_base,
-            offset=offset, depth=depth, topk=self.topk,
+            offset=offset, depth=depth, topk=self.topk, src_seq=src_seq,
         )
         br = drafting.DraftBranch(active=True)
         br.tokens = None  # pending until the eager fetch lands

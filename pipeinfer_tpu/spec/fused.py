@@ -57,6 +57,7 @@ def launch(
     offset: int,
     depth: int,
     topk: int,
+    src_seq: int = 0,  # seq whose prefix cells the run's branch seq shares
     n_cand: int = 8,
 ):
     """Dispatch one fused speculative run. Returns (handle, next_root_dev).
@@ -87,7 +88,7 @@ def launch(
         dft.params, dft.cache, tgt.params, tgt.cache,
         root_arg, np.int32(spec_base - 1), np.int32(offset),
         dcells.astype(np.int32),
-        tpos, tseq, tcells.astype(np.int32), seq_bits,
+        tpos, tseq, tcells.astype(np.int32), seq_bits, np.int32(src_seq),
     )
     col = 2 * topk + 1
     next_root = out[depth - 1, col].astype(np.int32)  # device scalar, no fetch
