@@ -102,6 +102,8 @@ def main():
                     help="speculation chain depth (default: CHAIN=32; the "
                          "reference tunes <=8 for mismatch-heavy drafts)")
     ap.add_argument("--inflight", type=int, default=4, help="max in-flight runs")
+    ap.add_argument("--prompt-len", type=int, default=25,
+                    help="prompt tokens (prefill cost / TTFT scale with this)")
     ap.add_argument("--compare", action="store_true",
                     help="also run the synchronous-speculation baseline and "
                          "append {Sequential, Speculative, PipeInfer} rows "
@@ -134,7 +136,7 @@ def main():
         )
 
     from pipeinfer_tpu.models import load_model
-    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext, _bucket
     from pipeinfer_tpu.sampling.samplers import SamplerState, SamplingParams, sample
     from pipeinfer_tpu.spec.controller import PipeInferController
     from pipeinfer_tpu.spec.params import SpecParams
@@ -145,7 +147,7 @@ def main():
     log(f"loaded models in {time.time() - t0:.1f}s "
         f"({tcfg.n_layers}L target, {dcfg.n_layers}L draft)")
 
-    prompt = [1] + list(rng_tokens(24))
+    prompt = [1] + list(rng_tokens(args.prompt_len - 1))
     n_cells = len(prompt) + n_predict + 8 * CHAIN + 64
 
     ctx_t = InferenceContext(tparams, tcfg, n_cells=n_cells)
@@ -187,9 +189,11 @@ def main():
     t0 = time.time()
     with cf.ThreadPoolExecutor(max_workers=3) as ex:
         futs = [
-            ex.submit(ctx_t.precompile, buckets=(1, 32), topk=TOPK,
+            ex.submit(ctx_t.precompile, buckets=tuple({1, 32, _bucket(len(prompt))}),
+                      topk=TOPK,
                       chain_depths=(CHAIN,), seq_groups=(1,), max_workers=4, log=log),
-            ex.submit(ctx_d.precompile, buckets=(32,), topk=None,
+            ex.submit(ctx_d.precompile, buckets=tuple({32, _bucket(len(prompt))}),
+                      topk=None,
                       chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
             ex.submit(warm_fused),
         ]
