@@ -168,7 +168,7 @@ def main():
 
     def warm_fused():
         fn = _shared_fused_spec(
-            ctx_d._forward, dcfg, ctx_t._forward, tcfg, n_draft, 8, TOPK
+            ctx_d._forward, dcfg, ctx_t._forward, tcfg, n_draft, TOPK
         )
         dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
         tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
@@ -191,7 +191,7 @@ def main():
         futs = [
             ex.submit(ctx_t.precompile, buckets=tuple({1, 32, _bucket(len(prompt))}),
                       topk=TOPK,
-                      chain_depths=(CHAIN,), seq_groups=(1,), max_workers=4, log=log),
+                      chain_depths=(CHAIN,), n_cand=0, seq_groups=(1,), max_workers=4, log=log),
             ex.submit(ctx_d.precompile, buckets=tuple({32, _bucket(len(prompt))}),
                       topk=None,
                       chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
@@ -224,7 +224,7 @@ def main():
     base_tokens = [cur]
     n_past = len(prompt)
     # one warm chain dispatch (first real execution of the warmed program)
-    toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN)
+    toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN, n_cand=0)
     n_past += CHAIN
     base_tokens.extend(toks)
     cur = toks[-1]
@@ -232,7 +232,7 @@ def main():
     t0 = time.time()
     n_done = 0
     while n_done < n_predict:
-        toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN)
+        toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN, n_cand=0)
         n_past += CHAIN
         base_tokens.extend(toks)
         cur = toks[-1]
@@ -298,7 +298,8 @@ def main():
         f"({st.n_drafted_unverified} unverified), "
         f"runs {m.n_runs} ({m.n_canceled_runs} canceled), "
         f"dead work {100 * m.dead_work_frac:.1f}%, "
-        f"ttft {m.ttft_s * 1e3:.0f}ms, itl p50 {np.median(m.inter_token_s) * 1e3 if m.inter_token_s else 0:.1f}ms"
+        f"ttft {m.ttft_s * 1e3:.1f}ms (excl. prefill), "
+        f"itl avg {m.avg_itl * 1e3:.2f}ms"
     )
 
     # correctness cross-check: greedy speculative output must match baseline
@@ -330,8 +331,10 @@ def main():
             f"(accept {100 * eng2.stats.accept_rate:.1f}%)")
 
         # results.csv rows in the reference's schema, labeled model:impl
-        # (ref: speculative.cpp:693-710 append + plot.py grouping)
-        itl = float(np.median(m.inter_token_s)) if m.inter_token_s else 0.0
+        # (ref: speculative.cpp:693-710 append + plot.py grouping; avg ITL
+        # like the reference — tokens land in per-verify bursts there too,
+        # so a median would report the intra-burst ~0)
+        itl = m.avg_itl
         enc_tps = len(prompt) / max(t_prefill, 1e-9)
         with open("results.csv", "a") as f:
             f.write(f"{enc_tps:.3f},{base_tps:.3f},{ms_tok / 1e3:.6f},"

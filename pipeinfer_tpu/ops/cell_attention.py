@@ -26,8 +26,11 @@ NEG = -1e9
 
 def _kernel(
     q_ref,  # (1, TG, D) f32
-    k_ref,  # (1, BC, D)
-    v_ref,  # (1, BC, D)
+    k_ref,  # (1, 1, BC, D) — leading layer axis; the layer is selected by
+    #         the BlockSpec index map (static), so the kernel DMAs blocks
+    #         straight out of the full [L, KVH, C, D] cache with no
+    #         per-layer slice copy feeding the custom call
+    v_ref,  # (1, 1, BC, D)
     pos_ref,  # (1, BC) i32 cell positions
     w0_ref,  # (1, BC) i32 seq word 0 (bitcast from uint32)
     w1_ref,  # (1, BC) i32 seq word 1
@@ -53,7 +56,7 @@ def _kernel(
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0].astype(jnp.float32)  # (TG, D)
-    k = k_ref[0].astype(jnp.float32)  # (BC, D)
+    k = k_ref[0, 0].astype(jnp.float32)  # (BC, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (TG, BC)
@@ -83,7 +86,7 @@ def _kernel(
     m_scr[...] = jnp.broadcast_to(m_next, m_scr.shape)
     l_scr[...] = jnp.broadcast_to(l_next, l_scr.shape)
 
-    v = v_ref[0].astype(jnp.float32)  # (BC, D)
+    v = v_ref[0, 0].astype(jnp.float32)  # (BC, D)
     pv = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -97,27 +100,39 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_c", "interpret")
+    jax.jit, static_argnames=("layer", "scale", "block_c", "interpret", "hot")
 )
 def cell_attention(
     q: jax.Array,  # [T, H, D]
-    k_cache: jax.Array,  # [KVH, C, D]
-    v_cache: jax.Array,  # [KVH, C, D]
+    k_cache: jax.Array,  # [L, KVH, C, D] full cache (or [KVH, C, D])
+    v_cache: jax.Array,  # like k_cache
     cell_pos: jax.Array,  # [C] i32
     cell_seq: jax.Array,  # [C, 2] u32
     tok_pos: jax.Array,  # [T] i32
     tok_seq: jax.Array,  # [T] i32
     valid: jax.Array,  # [T] bool
     *,
+    layer: int = 0,  # static layer index into a 4-D cache: selected by the
+    #                  BlockSpec index map, so no [KVH, C, D] slice is ever
+    #                  materialized to feed the kernel (a per-layer slice
+    #                  copy costs a full K+V pass over the pool per step)
     scale: float,
     alibi: jax.Array | None = None,  # [H] f32 slopes
     block_c: int = 512,
     interpret: bool = False,
+    hot: int = 0,  # occupancy high-water mark: only cell blocks below it
+    #               enter the grid — the tail of the pool is never DMA'd
+    #               (no slicing/copies; KVCache.hot plumbs this through)
 ) -> jax.Array:
     t, h, d = q.shape
-    kvh, c, _ = k_cache.shape
+    if k_cache.ndim == 3:  # single-layer view: free metadata-only lift
+        k_cache, v_cache, layer = k_cache[None], v_cache[None], 0
+    kvh, c = k_cache.shape[1], k_cache.shape[2]
     g = h // kvh
     assert c % block_c == 0, (c, block_c)
+    if hot and hot < c:
+        assert hot % block_c == 0, (hot, block_c)
+        c = hot
 
     # per-kv-head query rows, padded to a sublane multiple
     tg = t * g
@@ -152,8 +167,8 @@ def cell_attention(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tg_pad, d), lambda i, j: (i, 0, 0)),
-            pl.BlockSpec((1, block_c, d), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, block_c, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 1, block_c, d), lambda i, j, _l=layer: (_l, i, j, 0)),
+            pl.BlockSpec((1, 1, block_c, d), lambda i, j, _l=layer: (_l, i, j, 0)),
             pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
             pl.BlockSpec((1, block_c), lambda i, j: (0, j)),

@@ -212,6 +212,9 @@ def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
                 first=True, last=True, topk=None, tp_axis="model",
             )
             row = logits[0]
+            if n_cand == 0:
+                nxt = jnp.argmax(row).astype(jnp.int32)
+                return (cache, nxt, pos + 1), (nxt, nxt[None].astype(jnp.float32))
             lse = jax.scipy.special.logsumexp(row)
             vals, ids = jax.lax.top_k(row, n_cand)
             packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
@@ -220,6 +223,8 @@ def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
         (cache, _, _), (toks, packs) = jax.lax.scan(
             body, (cache, root_token, pos0), jnp.arange(depth)
         )
+        if n_cand == 0:
+            return toks.astype(jnp.float32)[:, None], cache
         out = jnp.concatenate([toks.astype(jnp.float32)[:, None], packs], axis=1)
         return out, cache
 

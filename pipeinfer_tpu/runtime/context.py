@@ -197,12 +197,15 @@ class InferenceContext:
         """Draft a greedy chain of `depth` tokens rooted at `root_token`
         (decoded at pos0). Returns (tokens [depth], candidates list of
         SparseLogits per step — candidates for the token drafted at that
-        step). One dispatch + one host fetch."""
+        step). One dispatch + one host fetch. n_cand=0 skips the
+        per-step top-k/normalizer entirely (bare greedy decode — the
+        non-speculative bench baseline) and returns (tokens, [])."""
         from ..sampling.samplers import SparseLogits
 
         cells = self.find_cells(depth)
         self.h_pos[cells] = pos0 + np.arange(depth)
         self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
+        self._refresh_hot()
         fn = self._chain_fn(depth, n_cand)
         out, self.cache = fn(
             self.params,
@@ -214,6 +217,8 @@ class InferenceContext:
         )
         both = np.asarray(out)
         tokens = both[:, 0].astype(np.int32).tolist()
+        if n_cand == 0:
+            return tokens, []
         cands = [
             SparseLogits(
                 both[i, 1 + n_cand : 1 + 2 * n_cand].astype(np.int32),
@@ -319,6 +324,27 @@ class InferenceContext:
             raise RuntimeError(f"KV cache full: need {n} cells, {len(free)} free")
         return free[:n]
 
+    def _refresh_hot(self):
+        """Stamp the cache's static high-water mark from the host mirror so
+        attention streams only the occupied prefix of the cell pool (the
+        first-fit allocator keeps occupancy prefix-dense). Bucketized to
+        powers of two (min 512) so the jit-variant count stays logarithmic;
+        pools ≤512 cells skip the machinery entirely. TP contexts keep
+        hot=0: their shard_map in_specs are built from cache_spec(), whose
+        pytree aux must match the runtime cache's."""
+        n = self.trash_cell + 1
+        if n <= 512 or self.mesh is not None:
+            return
+        used = np.nonzero(self.h_pos[: self.trash_cell] >= 0)[0]
+        hw = int(used[-1]) + 1 if len(used) else 1
+        b = 512
+        while b < hw:
+            b *= 2
+        b = min(b, n)
+        hot = 0 if b >= n else b
+        if hot != self.cache.hot:
+            self.cache = dataclasses.replace(self.cache, hot=hot)
+
     @property
     def n_free_cells(self) -> int:
         return int((self.h_pos[: self.trash_cell] < 0).sum())
@@ -366,6 +392,7 @@ class InferenceContext:
         # host mirror update
         self.h_pos[cells] = batch.pos
         self.h_seq[cells] = mask64
+        self._refresh_hot()
 
         step = self._step_fn(t_pad, topk)
         out, self.cache = step(
@@ -421,6 +448,7 @@ class InferenceContext:
         valid[:t] = True
         self.h_pos[cells] = pos[:t]
         self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
+        self._refresh_hot()
         step = _shared_step_embd(self._forward, self.cfg)
         out, self.cache = step(self.params, self.cache, x, pos, seq, cell_idx, valid)
         return np.asarray(out)[t - 1]
@@ -617,14 +645,16 @@ def _shared_step(forward, cfg, topk):
 
 
 @functools.lru_cache(maxsize=None)
-def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, n_cand, topk):
+def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk):
     """ONE program per speculative run: draft-chain `depth` tokens on the
     draft model (lax.scan) and immediately batch-verify them on the target
     — the drafted tokens never leave the device between the two phases.
     The reference pays (depth draft decodes + 1 target dispatch) worth of
     host round trips per run; here a run is one dispatch + one eager fetch
-    of a combined [depth, 2*topk+1 + 2*n_cand+2] row pack (target sparse
-    logits ++ chain token ++ draft candidates).
+    of a combined [depth, 2*topk+2] row pack (target sparse logits ++
+    chain token). The draft side is greedy by construction (fused runs
+    require a deterministic sampler), so the chain step is a bare argmax —
+    no per-step draft top-k/normalizer is computed or shipped.
     (ref: start_async_spec_run speculative.cpp:881-1180 collapsed into the
     phase-0 dispatch; phase 1 = the eager fetch.)"""
 
@@ -646,13 +676,10 @@ def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, n_cand, topk):
                 tok[None], pos[None], dseq_id[None], dcells[i][None],
                 jnp.ones(1, bool), None,
             )
-            row = logits[0]
-            lse = jax.scipy.special.logsumexp(row)
-            vals, ids = jax.lax.top_k(row, n_cand)
-            packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
-            return (dcache, ids[0], pos + 1), (ids[0], packed)
+            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            return (dcache, nxt, pos + 1), nxt
 
-        (dcache, _, _), (toks, dpacks) = jax.lax.scan(
+        (dcache, _, _), toks = jax.lax.scan(
             body, (dcache, root_token.astype(jnp.int32), dpos0), jnp.arange(depth)
         )
 
@@ -663,9 +690,7 @@ def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, n_cand, topk):
         lse = jax.scipy.special.logsumexp(tlogits, axis=-1)
         vals, ids = jax.lax.top_k(tlogits, topk)
         tpacked = jnp.concatenate([vals, ids.astype(jnp.float32), lse[:, None]], axis=1)
-        out = jnp.concatenate(
-            [tpacked, toks.astype(jnp.float32)[:, None], dpacks], axis=1
-        )
+        out = jnp.concatenate([tpacked, toks.astype(jnp.float32)[:, None]], axis=1)
         return out, dcache, tcache
 
     return fused
@@ -687,6 +712,10 @@ def _shared_chain(forward, cfg, depth, n_cand):
                 jnp.ones(1, bool), None,
             )
             row = logits[0]
+            if n_cand == 0:
+                # bare greedy chain (bench baseline): no candidate pack
+                nxt = jnp.argmax(row).astype(jnp.int32)
+                return (cache, nxt, pos + 1), (nxt, nxt[None].astype(jnp.float32))
             lse = jax.scipy.special.logsumexp(row)
             vals, ids = jax.lax.top_k(row, n_cand)
             packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
@@ -695,6 +724,8 @@ def _shared_chain(forward, cfg, depth, n_cand):
         (cache, _, _), (toks, packs) = jax.lax.scan(
             body, (cache, root_token, pos0), jnp.arange(depth)
         )
+        if n_cand == 0:
+            return toks.astype(jnp.float32)[:, None], cache
         out = jnp.concatenate([toks.astype(jnp.float32)[:, None], packs], axis=1)
         return out, cache
 

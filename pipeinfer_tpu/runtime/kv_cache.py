@@ -43,13 +43,19 @@ class KVCache:
     v: jax.Array  # [L, KVH, C, D]
     pos: jax.Array  # int32 [C], -1 = free
     seq: jax.Array  # uint32 [C, SEQ_WORDS] membership bitmask
+    # STATIC (pytree aux) high-water mark: every occupied cell index is
+    # < hot, so attention only streams cells [0, hot) — step cost scales
+    # with live context, not pool size (the host allocator is first-fit,
+    # so the occupied region stays prefix-dense). 0 = unknown/whole pool.
+    # Bucketized by the host (powers of two) so jit variants stay few.
+    hot: int = 0
 
     def tree_flatten(self):
-        return (self.k, self.v, self.pos, self.seq), None
+        return (self.k, self.v, self.pos, self.seq), self.hot
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, hot=aux)
 
     @property
     def n_cells(self) -> int:
@@ -370,24 +376,46 @@ def attend(
     alibi: jax.Array | None = None,
 ) -> jax.Array:
     """Attention dispatcher: dense masked SDPA for short cell arrays, the
-    Pallas flash cell kernel for long ones (TPU only)."""
+    Pallas flash cell kernel for long ones (TPU only). When the cache
+    carries a high-water mark (cache.hot), only cells [0, hot) are
+    streamed — occupied cells beyond it cannot exist (host allocator is
+    first-fit) and free cells are masked out anyway. The flash kernel
+    bounds its GRID (tail blocks never DMA'd, zero copies); the dense
+    path slices."""
     c = cache.n_cells
-    if c >= FLASH_MIN_CELLS and c % 512 == 0 and jax.default_backend() == "tpu":
+    hot = cache.hot if (cache.hot and cache.hot < c) else 0
+    if (
+        c >= FLASH_MIN_CELLS
+        and c % 512 == 0
+        and isinstance(layer, int)
+        and jax.default_backend() == "tpu"
+    ):
         from ..ops.cell_attention import cell_attention
 
+        # full 4-D cache + static layer: the kernel's index map selects the
+        # layer, so no [KVH, C, D] slice copy is materialized per call
         return cell_attention(
             q,
-            cache.k[layer],
-            cache.v[layer],
+            cache.k,
+            cache.v,
             cache.pos,
             cache.seq,
             tok_pos,
             tok_seq,
             valid,
+            layer=layer,
             scale=scale,
             alibi=alibi,
+            hot=hot,
         )
+    if hot:
+        k_l = jax.lax.slice_in_dim(cache.k[layer], 0, hot, axis=1)
+        v_l = jax.lax.slice_in_dim(cache.v[layer], 0, hot, axis=1)
+        cpos = cache.pos[:hot]
+        mask = mask[:, :hot]
+    else:
+        k_l, v_l, cpos = cache.k[layer], cache.v[layer], cache.pos
     return attention(
-        q, cache.k[layer], cache.v[layer], mask, scale=scale,
-        alibi=alibi, cache_pos=cache.pos if alibi is not None else None,
+        q, k_l, v_l, mask, scale=scale,
+        alibi=alibi, cache_pos=cpos if alibi is not None else None,
     )

@@ -70,9 +70,8 @@ class AsyncRun:
     dft_root_redecoded: bool = False
     n_drafted: int = 0  # drafted tokens this run carries (spec only)
     # fused run (spec/fused.py): branches[0].tokens is None until the eager
-    # fetch lands; handle.fetch() returns (logits, tokens, draft candidates)
+    # fetch lands; handle.fetch() returns (logits, tokens)
     fused: bool = False
-    dft_cands: list | None = None
 
 
 @dataclasses.dataclass
@@ -651,7 +650,7 @@ class PipeInferController:
                 self._reseed_frontier()
             return False
         if run.fused:
-            logits, _, _ = run.handle.fetch()
+            logits, _ = run.handle.fetch()
             fused.run_tokens(run)  # fill branches from the cached fetch
         else:
             logits = run.handle.fetch()

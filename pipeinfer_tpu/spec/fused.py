@@ -7,7 +7,7 @@ round trip costs ~30 ms, so the TPU-native shape of that loop is: one
 jitted program that scans the draft chain AND batch-verifies the drafted
 tokens on the target without the tokens ever visiting the host, followed
 by one eager fetch of a combined row-pack (target sparse logits ++ chain
-token ++ draft candidates). The next run chains from the previous run's
+token). The next run chains from the previous run's
 last token as a DEVICE scalar, so back-to-back speculative runs keep the
 device busy with zero host synchronization on the critical path.
 
@@ -58,13 +58,12 @@ def launch(
     depth: int,
     topk: int,
     src_seq: int = 0,  # seq whose prefix cells the run's branch seq shares
-    n_cand: int = 8,
 ):
     """Dispatch one fused speculative run. Returns (handle, next_root_dev).
 
-    handle.fetch() -> (target SparseLogits list, chain tokens list, draft
-    candidate SparseLogits list). next_root_dev is the last chain token as
-    a device scalar for chaining the next run without a host sync."""
+    handle.fetch() -> (target SparseLogits list, chain tokens list).
+    next_root_dev is the last chain token as a device scalar for chaining
+    the next run without a host sync."""
     mask64 = np.uint64(1) << np.uint64(offset)
 
     dcells = dft.find_cells(depth)
@@ -75,13 +74,15 @@ def launch(
     tpos = (spec_base + np.arange(depth)).astype(np.int32)
     tgt.h_pos[tcells] = tpos
     tgt.h_seq[tcells] = mask64
+    dft._refresh_hot()
+    tgt._refresh_hot()
     tseq = np.full(depth, offset, np.int32)
     seq_bits = np.zeros((depth, kv.SEQ_WORDS), np.uint32)
     seq_bits[:, 0] = np.uint32(mask64 & np.uint64(0xFFFFFFFF))
     seq_bits[:, 1] = np.uint32(mask64 >> np.uint64(32))
 
     fn = _shared_fused_spec(
-        dft._forward, dft.cfg, tgt._forward, tgt.cfg, depth, n_cand, topk
+        dft._forward, dft.cfg, tgt._forward, tgt.cfg, depth, topk
     )
     root_arg = root if hasattr(root, "dtype") else np.int32(root)
     out, dft.cache, tgt.cache = fn(
@@ -93,7 +94,7 @@ def launch(
     col = 2 * topk + 1
     next_root = out[depth - 1, col].astype(np.int32)  # device scalar, no fetch
 
-    def fetch(_out=out, _topk=topk, _nc=n_cand, _d=depth, _col=col):
+    def fetch(_out=out, _topk=topk, _d=depth, _col=col):
         host = np.asarray(_out)
         logits = [
             SparseLogits(
@@ -104,15 +105,7 @@ def launch(
             for i in range(_d)
         ]
         toks = host[:, _col].astype(np.int32).tolist()
-        cands = [
-            SparseLogits(
-                host[i, _col + 1 + _nc : _col + 1 + 2 * _nc].astype(np.int32),
-                host[i, _col + 1 : _col + 1 + _nc],
-                float(host[i, _col + 1 + 2 * _nc]),
-            )
-            for i in range(_d)
-        ]
-        return logits, toks, cands
+        return logits, toks
 
     handle = AsyncHandle(logits=out, fetch=fetch, cells=tcells).start_fetch(
         tgt._fetch_pool
@@ -217,8 +210,7 @@ def run_tokens(run) -> list[int]:
     caches its result in the handle's future)."""
     br = run.branches[0]
     if br.tokens is None:
-        _, toks, cands = run.handle.fetch()
+        _, toks = run.handle.fetch()
         br.tokens = list(toks)
         br.i_batch_tgt = list(range(len(toks)))
-        run.dft_cands = cands
     return br.tokens

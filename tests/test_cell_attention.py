@@ -120,3 +120,21 @@ def test_ranged_shift_neox_and_drop():
     np.testing.assert_allclose(np.asarray(got.k), np.asarray(want.k), rtol=2e-6, atol=2e-6)
     np.testing.assert_array_equal(np.asarray(got.pos), np.asarray(want.pos))
     np.testing.assert_array_equal(np.asarray(got.seq), np.asarray(want.seq))
+
+
+def test_flash_hot_grid_bound(rng):
+    """hot=512 must match the full-pool kernel when all occupied cells are
+    below the mark (the grid simply skips the free tail)."""
+    q, kc, vc, pos, seq, tok_pos, tok_seq, valid = _setup(rng, t=4, c=1024)
+    scale = 0.125
+    # _setup occupies cells [0, 512): the tail is entirely free
+    full = np.asarray(cell_attention(
+        q, kc, vc, pos, seq, tok_pos, tok_seq, valid,
+        scale=scale, block_c=256, interpret=True,
+    ))
+    bounded = np.asarray(cell_attention(
+        q, kc, vc, pos, seq, tok_pos, tok_seq, valid,
+        scale=scale, block_c=256, interpret=True, hot=512,
+    ))
+    v = np.asarray(valid)
+    np.testing.assert_allclose(bounded[v], full[v], rtol=1e-6, atol=1e-6)
