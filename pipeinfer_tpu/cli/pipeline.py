@@ -34,6 +34,12 @@ def main(argv=None):
     p.add_argument("--stages", type=int, default=0, help="number of stages (default: all devices)")
     args = p.parse_args(argv)
 
+    import os
+
+    if not os.environ.get("PIPEINFER_NO_COMPILE_CACHE"):
+        from ..utils.compile_cache import enable
+
+        enable()
     params, cfg = load_model(args.model)
     with GGUFReader(args.model) as r:
         tok = tokenizer_from_gguf(r)
