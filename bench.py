@@ -229,14 +229,22 @@ def main():
     base_tokens.extend(toks)
     cur = toks[-1]
 
+    # device-chained dispatches: chain i+1 roots at chain i's last token
+    # (the chain program's own `root_next` output) WITHOUT a host fetch in
+    # between — the tunnel's ~30 ms dispatch+fetch RTT would otherwise
+    # serialize into every 32-token chain (~1 ms/tok). Still strictly
+    # sequential decode; tokens are fetched at the end.
     t0 = time.time()
     n_done = 0
+    outs = []
+    cur_dev = np.int32(cur)
     while n_done < n_predict:
-        toks, _ = ctx_t.draft_chain(cur, n_past, 0, CHAIN, n_cand=0)
+        out, cur_dev = ctx_t.draft_chain(cur_dev, n_past, 0, CHAIN, n_cand=0, fetch=False)
+        outs.append(out)
         n_past += CHAIN
-        base_tokens.extend(toks)
-        cur = toks[-1]
         n_done += CHAIN
+    for out in outs:
+        base_tokens.extend(np.asarray(out)[:, 0].astype(np.int32).tolist())
     base_dt = time.time() - t0
     base_tps = n_done / base_dt
     ms_tok = 1e3 * base_dt / n_done

@@ -223,17 +223,18 @@ def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
         (cache, _, _), (toks, packs) = jax.lax.scan(
             body, (cache, root_token, pos0), jnp.arange(depth)
         )
+        root_next = toks[-1].astype(jnp.int32)
         if n_cand == 0:
-            return toks.astype(jnp.float32)[:, None], cache
+            return toks.astype(jnp.float32)[:, None], root_next, cache
         out = jnp.concatenate([toks.astype(jnp.float32)[:, None], packs], axis=1)
-        return out, cache
+        return out, root_next, cache
 
     rep = P()
     fn = shard_map(
         inner,
         mesh=mesh,
         in_specs=(specs, cache_spec(), rep, rep, rep, P(None)),
-        out_specs=(P(None, None), cache_spec()),
+        out_specs=(P(None, None), P(), cache_spec()),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(1,))

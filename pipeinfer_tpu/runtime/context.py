@@ -193,13 +193,21 @@ class InferenceContext:
 
             return tp.build_tp_chain(self.cfg, depth, n_cand, self.mesh, self._tp_specs)
         return _shared_chain(self._forward, self.cfg, depth, n_cand)
-    def draft_chain(self, root_token: int, pos0: int, seq_id: int, depth: int, n_cand: int = 8):
+    def draft_chain(self, root_token, pos0: int, seq_id: int, depth: int,
+                    n_cand: int = 8, fetch: bool = True):
         """Draft a greedy chain of `depth` tokens rooted at `root_token`
         (decoded at pos0). Returns (tokens [depth], candidates list of
         SparseLogits per step — candidates for the token drafted at that
         step). One dispatch + one host fetch. n_cand=0 skips the
         per-step top-k/normalizer entirely (bare greedy decode — the
-        non-speculative bench baseline) and returns (tokens, [])."""
+        non-speculative bench baseline) and returns (tokens, []).
+
+        root_token may be a host int or a DEVICE i32 scalar — specifically
+        the `root_next` returned by a previous fetch=False call: with
+        fetch=False this returns (out_device, root_next_device) without any
+        host transfer, so back-to-back chains enqueue with ZERO host round
+        trips or intermediate dispatches between them — the cell
+        bookkeeping here is position-based and never needs token values."""
         from ..sampling.samplers import SparseLogits
 
         cells = self.find_cells(depth)
@@ -207,14 +215,18 @@ class InferenceContext:
         self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
         self._refresh_hot()
         fn = self._chain_fn(depth, n_cand)
-        out, self.cache = fn(
+        if not isinstance(root_token, jax.Array):
+            root_token = np.int32(root_token)
+        out, root_next, self.cache = fn(
             self.params,
             self.cache,
-            np.int32(root_token),
+            root_token,
             np.int32(pos0),
             np.int32(seq_id),
             cells.astype(np.int32),
         )
+        if not fetch:
+            return out, root_next
         both = np.asarray(out)
         tokens = both[:, 0].astype(np.int32).tolist()
         if n_cand == 0:
@@ -282,7 +294,7 @@ class InferenceContext:
         def chain_job(d):
             def run():
                 fn = self._chain_fn(d, n_cand)
-                out, c2 = fn(
+                out, _rn, c2 = fn(
                     self.params,
                     dummy_cache(),
                     np.int32(0),
@@ -724,9 +736,14 @@ def _shared_chain(forward, cfg, depth, n_cand):
         (cache, _, _), (toks, packs) = jax.lax.scan(
             body, (cache, root_token, pos0), jnp.arange(depth)
         )
+        # root_next: the last drafted token as a ready-to-chain i32 scalar,
+        # produced INSIDE this program — a follow-up chain can root here
+        # with no intermediate slice/cast dispatch (each extra program on
+        # the tunneled runtime costs more than the RTT it would save)
+        root_next = toks[-1].astype(jnp.int32)
         if n_cand == 0:
-            return toks.astype(jnp.float32)[:, None], cache
+            return toks.astype(jnp.float32)[:, None], root_next, cache
         out = jnp.concatenate([toks.astype(jnp.float32)[:, None], packs], axis=1)
-        return out, cache
+        return out, root_next, cache
 
     return chain

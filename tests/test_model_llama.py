@@ -197,3 +197,43 @@ def test_quantized_model_close_to_float(tmp_path):
     lq, _ = _forward_tokens(pq, cfgq, cache, tokens)
     lf, lq = np.asarray(lf), np.asarray(lq)
     assert np.abs(lf - lq).max() / (np.abs(lf).max() + 1e-6) < 0.05
+
+
+def test_device_chained_draft_chain(tiny_model):
+    """draft_chain(fetch=False) + a device-scalar root must produce the
+    same tokens as fetched host-roundtrip chains (the bench baseline's
+    zero-RTT dispatch chaining)."""
+    import jax.numpy as jnp2
+
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+
+    params, cfg = tiny_model
+    ref = InferenceContext(params, cfg, n_cells=64, cache_dtype=jnp.float32)
+    dev = InferenceContext(params, cfg, n_cells=64, cache_dtype=jnp.float32)
+    prompt = [3, 11, 25]
+    for ctx in (ref, dev):
+        b = Batch()
+        for i, t in enumerate(prompt):
+            b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+        ctx.decode(b)
+
+    # host-fetched chaining
+    want, n_past = [], len(prompt)
+    cur = 5
+    for _ in range(3):
+        toks, _ = ref.draft_chain(cur, n_past, 0, 4, n_cand=0)
+        want.extend(toks)
+        cur = toks[-1]
+        n_past += 4
+
+    # device chaining: no fetch (or any dispatch at all) between chains —
+    # each chain roots at the previous program's root_next output
+    outs, n_past = [], len(prompt)
+    cur_dev = np.int32(5)
+    for _ in range(3):
+        out, cur_dev = dev.draft_chain(cur_dev, n_past, 0, 4, n_cand=0, fetch=False)
+        assert cur_dev.dtype == jnp2.int32 and cur_dev.shape == ()
+        outs.append(out)
+        n_past += 4
+    got = [int(t) for out in outs for t in np.asarray(out)[:, 0]]
+    assert got == want
