@@ -4,6 +4,7 @@ sharded computation — the launch topology the reference gets from mpirun
 (which it never tests; SURVEY §4 flags the gap)."""
 
 import os
+import re
 from pathlib import Path
 import subprocess
 import sys
@@ -78,9 +79,9 @@ def test_two_process_global_mesh(tmp_path):
     results = {}
     for out in outs:
         for line in out.splitlines():
-            if line.startswith("RESULT"):
-                _, pid, val = line.split()
-                results[int(pid)] = float(val)
+            m = re.match(r"^RESULT (\d+) ([-+0-9.eE]+)\s*$", line)
+            if m:  # ignore interleaved/corrupted stdout lines (flaky CI)
+                results[int(m.group(1))] = float(m.group(2))
     assert set(results) == {0, 1}, f"missing results: {outs}"
     # x=ones [8,4] @ w.T summed: sum over all rows of sum(w) = 8 * 120
     assert results[0] == results[1] == 8 * np.sum(np.arange(16))
@@ -154,9 +155,9 @@ def test_two_process_pipefused_step(tmp_path):
         out, err = p.communicate(timeout=300)
         assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
         for line in out.splitlines():
-            if line.startswith("RESULT"):
-                _, pid, val = line.split()
-                results[int(pid)] = float(val)
+            m = re.match(r"^RESULT (\d+) ([-+0-9.eE]+)\s*$", line)
+            if m:  # ignore interleaved/corrupted stdout lines (flaky CI)
+                results[int(m.group(1))] = float(m.group(2))
     assert set(results) == {0, 1}
 
     # single-process ground truth on the virtual 8-device mesh
