@@ -27,7 +27,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models import staged
 from ..runtime import kv_cache as kv
-from ..runtime.context import AsyncHandle, Batch, InferenceContext, _bucket
+from ..runtime.context import AsyncHandle, Batch, InferenceContext, _bucket, pack_batch
 
 
 def split_ranges(n_layers: int, weights: Sequence[float]) -> list[tuple[int, int]]:
@@ -147,26 +147,12 @@ class StagedInferenceContext:
         n = len(batch)
         t_pad = _bucket(n)
         cells = self.find_cells(n)
-
-        tokens = np.zeros(t_pad, np.int32)
-        pos = np.zeros(t_pad, np.int32)
-        seq = np.zeros(t_pad, np.int32)
-        seq_bits = np.zeros((t_pad, kv.SEQ_WORDS), np.uint32)
-        cell_idx = np.full(t_pad, self.trash_cell, np.int32)
-        valid = np.zeros(t_pad, bool)
-        tokens[:n] = batch.tokens
-        pos[:n] = batch.pos
-        seq[:n] = [s[0] for s in batch.seqs]
-        mask64 = np.zeros(n, np.uint64)
-        for i, slist in enumerate(batch.seqs):
-            for s in slist:
-                mask64[i] |= np.uint64(1) << np.uint64(s)
-        seq_bits[:n, 0] = (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        seq_bits[:n, 1] = (mask64 >> np.uint64(32)).astype(np.uint32)
-        cell_idx[:n] = cells
-        valid[:n] = True
+        tokens, pos, seq, seq_bits, cell_idx, valid, mask64 = pack_batch(
+            batch, t_pad, self.trash_cell, cells
+        )
         self.h_pos[cells] = batch.pos
         self.h_seq[cells] = mask64
+        self._refresh_hot()
 
         x = tokens
         for si in range(len(self.groups)):
@@ -218,12 +204,36 @@ class StagedInferenceContext:
             self._fetch_pool
         )
 
+    def _refresh_hot(self):
+        """Hot-cell bounding for staged caches: stamp the bucketized
+        occupancy high-water mark on every non-TP stage cache so attention
+        streams only the occupied prefix (same policy as
+        InferenceContext._refresh_hot; TP caches stay hot=0 because their
+        shard_map in_specs are built from cache_spec())."""
+        import dataclasses as _dc
+
+        n = self.trash_cell + 1
+        if n <= 512:
+            return
+        used = np.nonzero(self.h_pos[: self.trash_cell] >= 0)[0]
+        hw = int(used[-1]) + 1 if len(used) else 1
+        b = 512
+        while b < hw:
+            b *= 2
+        b = min(b, n)
+        hot = 0 if b >= n else b
+        for i in range(len(self.caches)):
+            if self.meshes[i] is None and self.caches[i].hot != hot:
+                self.caches[i] = _dc.replace(self.caches[i], hot=hot)
+
     # -- allocation (host mirror, shared across stages) ----------------------
 
     def find_cells(self, n: int) -> np.ndarray:
+        from ..runtime.context import CacheFull
+
         free = np.nonzero(self.h_pos[: self.trash_cell] < 0)[0]
         if len(free) < n:
-            raise RuntimeError(f"KV cache full: need {n}, have {len(free)}")
+            raise CacheFull(f"KV cache full: need {n}, have {len(free)}")
         return free[:n]
 
     # -- KV seq ops: fan out to every stage (pipelined transactions) ---------
@@ -244,6 +254,119 @@ class StagedInferenceContext:
         hit = (self.h_seq >> np.uint64(src) & np.uint64(1)).astype(bool)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
         self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
+
+    def rm_tail(self, p0: int):
+        """Free every cell at pos >= p0 on ALL sequences (the reference's
+        seq_rm(-1, p0, -1) fan-out, llama.cpp:9245-9265)."""
+        from ..runtime.context import _jit_rm_tail
+
+        for i in range(len(self.caches)):
+            self.caches[i] = _jit_rm_tail(self.caches[i], p0)
+        hit = self.h_pos >= p0
+        self.h_seq[hit] = 0
+        self.h_pos[hit] = -1
+
+    def seq_keep(self, seq_id: int):
+        from ..runtime.context import _jit_seq_keep
+
+        for i in range(len(self.caches)):
+            self.caches[i] = _jit_seq_keep(self.caches[i], seq_id)
+        keep = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        self.h_seq[:] = np.where(keep, np.uint64(1) << np.uint64(seq_id), np.uint64(0))
+        self.h_pos[~keep] = -1
+
+    def seq_shift(self, seq_id: int, p0: int, p1: int, delta: int):
+        """Context sliding over a pipelined target: every stage re-rotates
+        its own K slab for the affected cells (the reference broadcasts the
+        shift transaction through the ring, llama.cpp:9348-9359)."""
+        from ..runtime.context import _jit_shift_cells
+
+        hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
+        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
+        cells = np.nonzero(hit)[0]
+        if len(cells):
+            n_pad = _bucket(len(cells))
+            padded = np.full(n_pad, self.trash_cell, np.int32)
+            padded[: len(cells)] = cells
+            for i in range(len(self.caches)):
+                self.caches[i] = _jit_shift_cells(
+                    self.caches[i], padded, np.int32(delta), np.int32(self.trash_cell),
+                    self.cfg.rope_dims, self.cfg.rope_mode,
+                    self.cfg.rope_base, self.cfg.rope_scale,
+                )
+        self.h_pos[hit] += delta
+        dropped = hit & (self.h_pos < 0)
+        self.h_seq[dropped] = 0
+        self.h_pos[dropped] = -1
+
+    def clear_cache(self):
+        for i in range(len(self.caches)):
+            self.caches[i] = kv.clear(self.caches[i])
+        self.h_pos[:] = -1
+        self.h_seq[:] = 0
+
+    def precompile(self, *, buckets=(1, 8, 32), topk: int | None = None,
+                   seq_groups=(), max_workers: int = 6, log=None, **_ignored):
+        """Warm-compile every stage's step variants + the staged seq-op
+        programs in parallel (same contract as InferenceContext.precompile;
+        chain_depths is ignored — staged targets draft on the host path)."""
+        import jax.numpy as _jnp
+
+        from ..utils.compile_cache import warm_parallel
+        from ..runtime.context import (
+            _jit_prepare_seqs, _jit_consolidate, _jit_seq_rm, _jit_seq_cp,
+            _jit_seq_keep, _jit_rm_tail,
+        )
+
+        def wait(x):
+            leaves = sorted(jax.tree_util.tree_leaves(x), key=lambda a: a.nbytes)
+            np.asarray(leaves[0])
+
+        def step_job(si, b, _topk):
+            def run():
+                fn = self._stage_fn(si, _topk)
+                cache = jax.tree_util.tree_map(jnp.copy, self.caches[si])
+                x = (np.zeros(b, np.int32) if si == 0
+                     else np.zeros((b, self.cfg.n_embd), np.float32))
+                if si > 0:
+                    x = jax.device_put(x, self.devices[si]) if self.meshes[si] is None else x
+                out, _c = fn(
+                    self.stage_params[si], cache, x,
+                    np.zeros(b, np.int32), np.zeros(b, np.int32),
+                    np.full(b, self.trash_cell, np.int32),
+                    np.zeros(b, bool), np.zeros((b, kv.SEQ_WORDS), np.uint32),
+                )
+                wait(out)
+
+            return run
+
+        def seq_job(si, g):
+            def run():
+                c = jax.tree_util.tree_map(_jnp.copy, self.caches[si])
+                c = _jit_prepare_seqs(c, np.int32(0), np.arange(1, g + 1, dtype=np.int32), np.int32(1))
+                c = _jit_consolidate(c, np.int32(1), np.arange(1, g + 1, dtype=np.int32),
+                                     np.int32(0), np.int32(1), np.int32(0))
+                c = _jit_seq_rm(c, 1, 0, -1)
+                c = _jit_seq_cp(c, 0, 1, 0, 1)
+                c = _jit_rm_tail(c, 1)
+                c = _jit_seq_keep(c, 0)
+                wait(c)
+
+            return run
+
+        jobs = [
+            (f"stage{si}/step[{b},topk={topk if si == len(self.groups) - 1 else None}]",
+             step_job(si, b, topk if si == len(self.groups) - 1 else None))
+            for si in range(len(self.groups))
+            for b in buckets
+        ]
+        jobs += [
+            (f"stage{si}/seqops[{g}]", seq_job(si, g))
+            for si in range(len(self.groups))
+            for g in seq_groups
+        ]
+        return warm_parallel(jobs, max_workers=max_workers, log=log)
 
     def prepare_branch_seqs(self, seqs: list[int], src: int, p1: int):
         from ..runtime.context import _jit_prepare_seqs

@@ -30,6 +30,14 @@ from ..models.config import ModelConfig
 from . import kv_cache as kv
 
 
+class CacheFull(RuntimeError):
+    """No free KV cells for an allocation. Speculation treats this as a
+    BACKPRESSURE signal (stop launching, recycle the run's cells) instead
+    of a crash — the reference simply asserts on find_slot failure
+    (llama.cpp:1593); here in-flight trees can transiently exhaust a small
+    pool and must degrade gracefully."""
+
+
 def _bucket(n: int) -> int:
     """Pad batch sizes to a SPARSE bucket set: {1, 8, 32, 128, 512, ...}.
 
@@ -117,6 +125,34 @@ class Batch:
 
     def __len__(self):
         return len(self.tokens)
+
+
+def pack_batch(batch: "Batch", t_pad: int, trash_cell: int, cells: np.ndarray):
+    """Pad a Batch to the bucket size as the device-step input arrays.
+
+    Shared by every decode engine (single-device, staged, remote staged);
+    padding rows write to the trash cell. Returns
+    (tokens, pos, seq, seq_bits, cell_idx, valid, mask64) — mask64 is the
+    per-token uint64 seq bitmask for the host mirrors."""
+    n = len(batch)
+    tokens = np.zeros(t_pad, np.int32)
+    pos = np.zeros(t_pad, np.int32)
+    seq = np.zeros(t_pad, np.int32)
+    seq_bits = np.zeros((t_pad, kv.SEQ_WORDS), np.uint32)
+    cell_idx = np.full(t_pad, trash_cell, np.int32)
+    valid = np.zeros(t_pad, bool)
+    tokens[:n] = batch.tokens
+    pos[:n] = batch.pos
+    seq[:n] = [s[0] for s in batch.seqs]
+    mask64 = np.zeros(n, np.uint64)
+    for i, slist in enumerate(batch.seqs):
+        for s in slist:
+            mask64[i] |= np.uint64(1) << np.uint64(s)
+    seq_bits[:n, 0] = (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    seq_bits[:n, 1] = (mask64 >> np.uint64(32)).astype(np.uint32)
+    cell_idx[:n] = cells
+    valid[:n] = True
+    return tokens, pos, seq, seq_bits, cell_idx, valid, mask64
 
 
 class InferenceContext:
@@ -207,7 +243,10 @@ class InferenceContext:
         fetch=False this returns (out_device, root_next_device) without any
         host transfer, so back-to-back chains enqueue with ZERO host round
         trips or intermediate dispatches between them — the cell
-        bookkeeping here is position-based and never needs token values."""
+        bookkeeping here is position-based and never needs token values.
+        With fetch=False and n_cand>0, out_device is the raw packed
+        [depth, 1+2*n_cand+1] rows (token ++ top-k vals ++ top-k ids ++
+        lse); decode it the way the fetch=True branch below does."""
         from ..sampling.samplers import SparseLogits
 
         cells = self.find_cells(depth)
@@ -333,7 +372,7 @@ class InferenceContext:
         """First n free cells (the trash cell is never handed out)."""
         free = np.nonzero(self.h_pos[: self.trash_cell] < 0)[0]
         if len(free) < n:
-            raise RuntimeError(f"KV cache full: need {n} cells, {len(free)} free")
+            raise CacheFull(f"KV cache full: need {n} cells, {len(free)} free")
         return free[:n]
 
     def _refresh_hot(self):
@@ -382,24 +421,9 @@ class InferenceContext:
             raise ValueError("empty batch")
         t_pad = _bucket(n)
         cells = self.find_cells(n)
-
-        tokens = np.zeros(t_pad, np.int32)
-        pos = np.zeros(t_pad, np.int32)
-        seq = np.zeros(t_pad, np.int32)
-        seq_bits = np.zeros((t_pad, kv.SEQ_WORDS), np.uint32)
-        cell_idx = np.full(t_pad, self.trash_cell, np.int32)
-        valid = np.zeros(t_pad, bool)
-        tokens[:n] = batch.tokens
-        pos[:n] = batch.pos
-        seq[:n] = [s[0] for s in batch.seqs]
-        mask64 = np.zeros(n, np.uint64)
-        for i, slist in enumerate(batch.seqs):
-            for s in slist:
-                mask64[i] |= np.uint64(1) << np.uint64(s)
-        seq_bits[:n, 0] = (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        seq_bits[:n, 1] = (mask64 >> np.uint64(32)).astype(np.uint32)
-        cell_idx[:n] = cells
-        valid[:n] = True
+        tokens, pos, seq, seq_bits, cell_idx, valid, mask64 = pack_batch(
+            batch, t_pad, self.trash_cell, cells
+        )
 
         # host mirror update
         self.h_pos[cells] = batch.pos

@@ -43,7 +43,7 @@ from collections import deque
 
 import numpy as np
 
-from ..runtime.context import AsyncHandle, Batch, InferenceContext
+from ..runtime.context import AsyncHandle, Batch, CacheFull, InferenceContext
 from ..sampling.samplers import SamplerState, SamplingParams, sample
 from . import drafting, fused
 from .params import SpecParams
@@ -224,9 +224,25 @@ class PipeInferController:
     def _launch_spec(self, p_adjust: float) -> bool:
         """Draft a tree at the assumed frontier and dispatch it to the
         target (ref: start_async_spec_run). Returns False if nothing was
-        drafted (threshold) — the offset is recycled."""
+        drafted (threshold) or the KV pool is exhausted (backpressure) —
+        the offset is recycled either way."""
         sp = self.sp
         offset = self.free_offsets.popleft()
+        try:
+            return self._launch_spec_inner(offset, p_adjust)
+        except CacheFull:
+            # backpressure: roll back this run's partial allocations and
+            # stop pumping until retirements free cells (the reference
+            # asserts in find_slot instead; SURVEY §7 hard part (c))
+            for s in range(sp.n_parallel):
+                self.tgt.seq_rm(s + offset, 0, -1)
+                self.dft.seq_rm(s + offset, 0, -1)
+            self.free_offsets.append(offset)
+            self.n_rejected += 1
+            return False
+
+    def _launch_spec_inner(self, offset: int, p_adjust: float) -> bool:
+        sp = self.sp
         first = not self.chain_tokens
         src_seq = self.seq_base if first else self.chain_prev_offset  # branch 0 of prev run
 
@@ -271,6 +287,12 @@ class PipeInferController:
             br.prefix_tokens = list(self.chain_tokens)
 
         if len(batch_tgt) == 0:
+            # nothing cleared the threshold: un-share the prepared branch
+            # seqs (prefix bits + any root-redecode draft cells) before
+            # recycling the offset, or they linger until offset reuse
+            for s in range(sp.n_parallel):
+                self.tgt.seq_rm(s + offset, 0, -1)
+                self.dft.seq_rm(s + offset, 0, -1)
             self.free_offsets.append(offset)
             self.n_rejected += 1
             return False
@@ -356,27 +378,38 @@ class PipeInferController:
     def check_for_cancel(self):
         """Mark in-flight runs whose assumptions diverged
         (ref: check_for_cancel :1277-1359)."""
+        cancel_hook = getattr(self.tgt, "cancel_run", None)
         for run in self.runs:
             if run.canceled:
                 continue
             if run.max_decide < self.n_committed:
                 run.canceled = True
-                continue
-            # compare only positions already committed: beyond them the
-            # assumed values may still be in flight (fused runs resolve
-            # through their own eager fetch)
-            ap = run.assumed_prefix
-            n = min(len(ap), max(0, self.n_committed - run.prefix_base))
-            ok = all(
-                self._token_at(run.prefix_base + i) == ap[i] for i in range(n)
-            )
-            if not ok:
-                run.canceled = True
+            else:
+                # compare only positions already committed: beyond them the
+                # assumed values may still be in flight (fused runs resolve
+                # through their own eager fetch)
+                ap = run.assumed_prefix
+                n = min(len(ap), max(0, self.n_committed - run.prefix_base))
+                ok = all(
+                    self._token_at(run.prefix_base + i) == ap[i] for i in range(n)
+                )
+                if not ok:
+                    run.canceled = True
+            if run.canceled and cancel_hook is not None:
+                # propagate backwards through the pipeline so stages that
+                # have not reached this microbatch skip its compute
+                # (ref: llama_cancel_run back-ring, llama.cpp:9981-9993)
+                cancel_hook(run.handle)
 
     def _discard(self, run: AsyncRun):
         self.metrics.n_canceled_runs += 1
         self.metrics.n_dead_tokens += len(run.batch) or run.n_drafted
         if run.speculative:
+            # free the dead tree's cells NOW (async seq_rm dispatches):
+            # under a tight pool, canceled runs holding cells would starve
+            # the launches meant to replace them (shared prefix cells keep
+            # their other runs' bits — seq_rm only clears this run's)
+            self._discard_cells(run)
             self.free_offsets.append(run.seq_offset)
             if self.chain_prev_offset == run.seq_offset:
                 self.chain_prev_offset = None
