@@ -32,20 +32,28 @@ _DENSE_TYPES = (
 
 
 def matmul_layout(qtype: GGMLQuantType | None = None) -> str:
-    """Device layout for quantized matmul weights. On TPU: "i8g" — int8
-    requantized on a per-(512, col) grid so the MXU consumes weights
-    directly with output-side scaling (every unpack-in-kernel design is
-    VPU-bound at ~1e12 elem-ops/s on v5e; see ops.qmatmul._i8g_kernel).
-    Elsewhere the minimum-memory packed planes. "i8"/"k4" remain available
-    as exact-dequant layouts. Override: PIPEINFER_WEIGHT_LAYOUT."""
+    """Device layout for quantized matmul weights. On TPU: "i4g" for 4-bit
+    formats — weights stay NIBBLE-PACKED in HBM (~0.53 B/param) and the
+    Pallas kernel unpacks to int8 in VMEM via full-lane i32 bit ops before
+    MXU s8 dots (74% of HBM roofline, 1.87x the i8g step; see
+    ops.qmatmul._i4g_kernel) — and "i8g" for wider formats (int8
+    requantized per-(512, col), output-side scaling). Elsewhere the
+    minimum-memory packed planes. "i8"/"k4" remain available as
+    exact-dequant layouts. Override: PIPEINFER_WEIGHT_LAYOUT."""
     import os
 
     env = os.environ.get("PIPEINFER_WEIGHT_LAYOUT", "")
-    if env in ("i8", "k_major", "k4", "i8g"):
+    if env in ("i8", "k_major", "k4", "i8g", "i4g"):
         return env
     import jax
 
-    return "i8g" if jax.default_backend() == "tpu" else "k_major"
+    if jax.default_backend() != "tpu":
+        return "k_major"
+    from ..quant.pack import FORMAT_INFO
+
+    if qtype is not None and FORMAT_INFO.get(qtype, (0, 0))[0] == 4:
+        return "i4g"
+    return "i8g"
 
 
 def _load_tensor(r: GGUFReader, name: str, *, dense_dtype=jnp.float32, layout=None):

@@ -20,8 +20,7 @@ def main():
     import jax
 
     from ..quant import pack
-    from ..ops import qmatmul as _q  # noqa: F401  (module import for attrs)
-    from ..ops.qmatmul import qmatmul, to_device
+    from ..ops.qmatmul import dequant_T, qmatmul, to_device
 
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})")
@@ -33,8 +32,14 @@ def main():
 
     def check(label, pw, layout):
         qt = to_device(pw, layout=layout)
-        # golden on host (numpy) to avoid per-format fallback compiles
-        want = x @ pack.unpack_to_float(pw).T
+        if layout == "i4g":
+            # i4g is a lossy requant layout: judge the KERNEL against its
+            # own dequant golden (the requant noise has its own budget in
+            # tests/test_qmatmul.py)
+            want = x @ np.asarray(dequant_T(qt))
+        else:
+            # golden on host (numpy) to avoid per-format fallback compiles
+            want = x @ pack.unpack_to_float(pw).T
         t0 = time.perf_counter()
         got = qmatmul(x, qt, prefer_pallas=True)
         np.asarray(got)  # is_ready/block_until_ready lie on tunneled runtimes
@@ -64,6 +69,7 @@ def main():
         check(f"{qtype.name}/i8g", pw, "i8g")
         if pw.bits == 4:
             check(f"{qtype.name}/k4", pw, "k4")
+            check(f"{qtype.name}/i4g", pw, "i4g")
     if not all(results.values()):
         raise SystemExit(1)
     print("all kernels OK on", dev.platform)

@@ -128,6 +128,55 @@ def test_qmatmul_i8g_pallas_interpret(qtype, k, rng):
     assert np.abs(got - want).max() / scale < 2e-2, "i8g kernel mismatch"
 
 
+@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_0, GGMLQuantType.Q4_1])
+def test_dequant_i4g_requant_accuracy(qtype, rng):
+    """i4g REQUANTIZES already-4-bit-quantized weights onto a per-(128, col)
+    affine LS-refit grid. Unlike i8g this is a lossy speed layout (4-bit
+    resolution per half-slab vs the source's per-32-group scales); the
+    budget pins the noise floor: <=10% added rms relative to the weight
+    std and <=8% max (vs ~11% rms the 4-bit source quant itself carries
+    against f32 — the layout roughly sqrt(2)s the quant noise in exchange
+    for ~half the HBM bytes/step; i8g remains selectable for max
+    fidelity)."""
+    n, k = 8, 1024
+    x = (rng.standard_normal((n, k)) * 0.5).astype(np.float32)
+    pw = pack.pack_array(x, qtype)
+    want = pack.unpack_to_float(pw)
+    qt = qmm.to_device(pw, layout="i4g")
+    assert qt.layout == "i4g"
+    assert qt.qs.dtype == np.uint8 and qt.qs.shape == (k // 2, n)  # packed HBM bytes
+    got = np.asarray(qmm.dequant(qt))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 0.08
+    assert np.sqrt(((got - want) ** 2).mean()) / want.std() < 0.10
+
+
+def test_i4g_falls_back_to_i8g_for_non4bit(rng):
+    pw = pack.pack_array((rng.standard_normal((8, 512)) * 0.5).astype(np.float32),
+                         GGMLQuantType.Q6_K)
+    qt = qmm.to_device(pw, layout="i4g")
+    assert qt.layout == "i8g"
+
+
+@pytest.mark.parametrize("k", [512, 1024, 2816])
+@pytest.mark.parametrize("qtype", [GGMLQuantType.Q4_K, GGMLQuantType.Q4_0])
+def test_qmatmul_i4g_pallas_interpret(qtype, k, rng):
+    """The 4-bit-resident MXU kernel vs the i4g dequant golden (isolates
+    KERNEL correctness — activation int8 quant + f32 accumulation — from
+    the requant noise, which test_dequant_i4g_requant_accuracy budgets
+    separately; the interpreter build substitutes a plain nibble split for
+    the hardware lane bitcast — same values)."""
+    n, m = 256, 5
+    w = (rng.standard_normal((n, k)) * 0.3).astype(np.float32)
+    pw = pack.pack_array(w, qtype)
+    qt = qmm.to_device(pw, layout="i4g")
+    x = (rng.standard_normal((m, k)) * 0.5).astype(np.float32)
+    want = x.astype(np.float32) @ np.asarray(qmm.dequant_T(qt))
+    got = np.asarray(qmm.qmatmul(x, qt, prefer_pallas=True, interpret=True))
+    scale = np.abs(want).max() + 1e-6
+    assert np.abs(got - want).max() / scale < 2e-2, "i4g kernel mismatch"
+
+
 def test_k4_falls_back_to_i8_for_non4bit(rng):
     pw = pack.pack_array((rng.standard_normal((8, 512)) * 0.5).astype(np.float32),
                          GGMLQuantType.Q6_K)
