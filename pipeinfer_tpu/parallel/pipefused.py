@@ -8,10 +8,19 @@ XLA instead of graph surgery:
 - the transformer's layers are **stacked** with a leading stage axis and
   sharded over the mesh's 'stage' axis — each stage device-group holds its
   layer slab (the analogue of --mpi-layer-split);
-- one jitted step runs S pipeline phases inside `shard_map`; activations
-  hop stage→stage over ICI with `jax.lax.ppermute` (the analogue of the
-  MPI activation send :710-721), overlapping with compute across
-  microbatches via the classic (M + S - 1)-phase schedule;
+- one jitted step runs the classic **(M + S - 1)-phase microbatch
+  schedule** inside `shard_map`: per-dp-shard streams are split into M
+  microbatches along the batch axis; at phase t, stage s computes
+  microbatch t - s while the activation of the previous phase hops
+  stage→stage over ICI with `jax.lax.ppermute` (the analogue of the MPI
+  activation send :710-721). After the S-phase warmup every stage is busy
+  on a DIFFERENT microbatch — utilization M/(M+S-1) instead of the 1/S of
+  a stage-masked single-batch sweep (this is the in-flight-microbatch
+  semantics of the reference's async split decode, llama.h:285-290,
+  expressed as a static schedule);
+- the ring KV cache carries **per-slot stored positions**, so attention
+  masking is wrap-safe (a slot is visible iff it holds a position in
+  (q_pos - C, q_pos]) and every stream has its own position column;
 - within a stage, attention heads and FFN columns are sharded over the
   'model' axis with explicit `psum` reductions after the output/down
   projections (Megatron-style TP);
@@ -19,7 +28,7 @@ XLA instead of graph surgery:
 
 This path serves throughput decode/prefill and the multi-chip dry run; the
 asynchronous PipeInfer controller drives per-stage sub-mesh contexts (see
-parallel.stages) for the in-flight-microbatch topology.
+parallel.stages / parallel.dcn) for the dynamic in-flight-run topology.
 """
 
 from __future__ import annotations
@@ -89,7 +98,6 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    head_dim = cfg.head_dim
     stacked = {
         # column-parallel: output dim sharded over 'model'
         "wq": put(stack("wq"), P("stage", None, "model", None)),
@@ -107,19 +115,23 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
         "output_norm": put(jnp.asarray(params["output_norm"], jnp.float32), P(None)),
         "output": put(dense(params["output"]), P("model", None)),
     }
-    del head_dim
     return stacked
 
 
 def init_cache(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh, batch: int, max_len: int):
-    """Ring KV cache [S, Lps, B, C, KVH, D] sharded (stage, -, data, -, model, -)."""
+    """Ring KV cache [S, Lps, B, C, KVH, D] sharded (stage, -, data, -, model, -)
+    plus per-slot stored positions [S, B, C] (wrap-safe masking; -1 = empty)."""
     lps = cfg.n_layers // pc.n_stages
     shape = (pc.n_stages, lps, batch, max_len, cfg.n_kv_heads, cfg.head_dim)
     sharding = NamedSharding(mesh, P("stage", None, "data", None, "model", None))
     z = jnp.zeros(shape, jnp.bfloat16)
+    pos_sh = NamedSharding(mesh, P("stage", "data", None))
     return {
         "k": jax.device_put(z, sharding),
         "v": jax.device_put(z, sharding),
+        "pos": jax.device_put(
+            jnp.full((pc.n_stages, batch, max_len), -1, jnp.int32), pos_sh
+        ),
     }
 
 
@@ -128,20 +140,32 @@ def init_cache(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh, batch: int, max_len
 # ---------------------------------------------------------------------------
 
 
-def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, h, pos, n_past, tp: int):
-    """Run this stage's layer slab on h [B, T, E]; per-shard views.
+def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, pos_slab, h, pos, tp: int):
+    """Run this stage's layer slab on h [B, T, E] with per-stream positions.
 
-    k_cache/v_cache: [Lps, B, C, KVH/tp, D]. Returns (h, k_cache, v_cache).
-    """
-    lps = p["wq"].shape[0]
+    k_cache/v_cache: [Lps, B, C, KVH/tp, D]; pos_slab [B, C] stored slot
+    positions (-1 empty); pos [B, T] query positions. Returns
+    (h, k_cache, v_cache, pos_slab)."""
     b, t, e = h.shape
     heads = cfg.n_heads // tp
     kvh = cfg.n_kv_heads // tp
     d = cfg.head_dim
     scale = cfg.attn_scale
-    c = k_cache.shape[2]  # ring length of [Lps, B, C, KVH, D]
+    c = k_cache.shape[2]  # ring length
 
     rope_kw = dict(mode=cfg.rope_mode, freq_base=cfg.rope_base, freq_scale=cfg.rope_scale)
+    slots = pos % c  # [B, T]
+    b_iota = jnp.arange(b)
+    # wrap-safe visibility AFTER this step's writes: slot stores pos_slab'
+    pos_slab = pos_slab.at[b_iota[:, None], slots].set(pos)
+    stored = pos_slab  # [B, C]
+    visible = (
+        (stored[:, None, :] >= 0)
+        & (stored[:, None, :] <= pos[:, :, None])
+        & (stored[:, None, :] > pos[:, :, None] - c)
+    )  # [B, T, C]
+    mask = jnp.where(visible, 0.0, -1e9)
+    pos_flat = pos.reshape(b * t)
 
     def one_layer(carry, lp):
         h, kc, vc = carry
@@ -151,25 +175,20 @@ def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, h, pos, n_past, tp: int
         q = jnp.dot(af.astype(jnp.bfloat16), wq.T, preferred_element_type=jnp.float32)
         k = jnp.dot(af.astype(jnp.bfloat16), wk.T, preferred_element_type=jnp.float32)
         v = jnp.dot(af.astype(jnp.bfloat16), wv.T, preferred_element_type=jnp.float32)
+        q = q.reshape(b * t, heads, d)
+        k = k.reshape(b * t, kvh, d)
+        if cfg.rope_mode != "none":
+            q = L.apply_rope(q, pos_flat, cfg.rope_dims, **rope_kw)
+            k = L.apply_rope(k, pos_flat, cfg.rope_dims, **rope_kw)
         q = q.reshape(b, t, heads, d)
         k = k.reshape(b, t, kvh, d)
         v = v.reshape(b, t, kvh, d)
-        if cfg.rope_mode != "none":
-            q = L.apply_rope(q.reshape(b * t, heads, d), jnp.tile(pos, (b,)), cfg.rope_dims, **rope_kw).reshape(b, t, heads, d)
-            k = L.apply_rope(k.reshape(b * t, kvh, d), jnp.tile(pos, (b,)), cfg.rope_dims, **rope_kw).reshape(b, t, kvh, d)
-        # ring write at positions pos (same for every stream)
-        slots = pos % c
-        kc = kc.at[:, slots].set(k.astype(kc.dtype))
-        vc = vc.at[:, slots].set(v.astype(vc.dtype))
-        # causal mask over ring positions
-        cache_pos = jax.lax.broadcasted_iota(jnp.int32, (c,), 0)
-        # valid if cache_pos slot holds a position <= query pos and written
-        written = cache_pos[None, :] <= (n_past + t - 1) % c  # simple ring (no wrap support at tiny scale)
-        visible = (cache_pos[None, :] <= pos[:, None]) & written
-        mask = jnp.where(visible, 0.0, -1e9)  # [T, C]
+        # per-stream ring write at slots [B, T]
+        kc = kc.at[b_iota[:, None], slots].set(k.astype(kc.dtype))
+        vc = vc.at[b_iota[:, None], slots].set(v.astype(vc.dtype))
         qf = q.astype(jnp.float32).reshape(b, t, kvh, heads // kvh, d)
         scores = jnp.einsum("btkgd,bckd->btkgc", qf, kc.astype(jnp.float32)) * scale
-        scores = scores + mask[None, :, None, None, :]
+        scores = scores + mask[:, :, None, None, :]
         pr = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("btkgc,bckd->btkgd", pr, vc.astype(jnp.float32))
         attn = attn.reshape(b * t, heads * d)
@@ -196,23 +215,39 @@ def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, h, pos, n_past, tp: int
         (h, kci, vci), _ = one_layer((h, kc_all[li], vc_all[li]), lp)
         return (h, kc_all.at[li].set(kci), vc_all.at[li].set(vci)), None
 
+    lps = p["wq"].shape[0]
     (h, k2, v2), _ = jax.lax.scan(
         scan_body, (h, k_cache, v_cache), (layer_params, jnp.arange(lps))
     )
-    return h, k2, v2
+    return h, k2, v2, pos_slab
 
 
 def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
-    """Jitted fused pipeline step: (params, cache, tokens[B,T], pos[T],
-    n_past) -> (logits [B, T, V], cache)."""
+    """Jitted fused pipeline step: (params, cache, tokens[B,T], pos, n_past)
+    -> (logits [B, T, V], cache).
 
-    def step(params, cache, tokens, pos, n_past):
-        def inner(p, k_cache, v_cache, tokens, pos, n_past):
-            # shapes inside shard_map (per shard):
-            # k_cache [1, Lps, B/dp, C, KVH/tp, D]; tokens [B/dp, T]
+    pos may be [T] (shared positions, legacy) or [B, T] (per-stream);
+    n_past is accepted for API compatibility and ignored (per-slot stored
+    positions make the mask self-describing)."""
+    M = max(1, pc.n_microbatches)
+
+    def step(params, cache, tokens, pos, n_past=0):
+        if pos.ndim == 1:
+            pos2 = jnp.broadcast_to(pos[None, :], tokens.shape)
+        else:
+            pos2 = pos
+        pos2 = pos2.astype(jnp.int32)
+
+        def inner(p, k_cache, v_cache, pos_cache, tokens, pos):
+            # per-shard shapes: k_cache [1, Lps, B_l, C, KVH/tp, D];
+            # tokens/pos [B_l, T]; pos_cache [1, B_l, C]
             stage = jax.lax.axis_index("stage")
             n_stages = jax.lax.axis_size("stage")
-            b, t = tokens.shape
+            b_l, t = tokens.shape
+            assert b_l % M == 0, (
+                f"per-dp-shard batch {b_l} must divide n_microbatches={M}"
+            )
+            bm = b_l // M
 
             # strip the (sharded, now size-1) stage axis off layer weights
             p = dict(p)
@@ -220,48 +255,74 @@ def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
                         "attn_norm", "ffn_norm"):
                 p[key] = p[key][0]
 
-            h = jnp.where(
-                stage == 0,
-                p["tok_embd"][tokens].astype(jnp.float32),
-                jnp.zeros((b, t, cfg.n_embd), jnp.float32),
-            )
-
             kc = k_cache[0]
             vc = v_cache[0]
+            psl = pos_cache[0]
+            out_h = jnp.zeros((b_l, t, cfg.n_embd), jnp.float32)
+            h_cur = jnp.zeros((bm, t, cfg.n_embd), jnp.float32)
 
-            def phase(carry, s):
-                h, kc, vc = carry
-                active = stage == s
-                h2, kc2, vc2 = _stage_layers(cfg, p, kc, vc, h, pos, n_past, pc.tp)
-                h = jnp.where(active, h2, h)
-                kc = jnp.where(active, kc2, kc)
-                vc = jnp.where(active, vc2, vc)
-                # relay activations to the next stage over ICI
-                h = jax.lax.ppermute(
-                    h, "stage", [(i, (i + 1) % n_stages) for i in range(n_stages)]
+            n_phases = M + n_stages - 1
+
+            def phase(carry, ph):
+                h_cur, kc, vc, psl, out_h = carry
+                # stage 0 injects microbatch `ph`'s embedding (overwrites the
+                # relayed garbage from the stage ring closure)
+                m_in = jnp.clip(ph, 0, M - 1)
+                tok_mb = jax.lax.dynamic_slice_in_dim(tokens, m_in * bm, bm, axis=0)
+                emb = p["tok_embd"][tok_mb].astype(jnp.float32)
+                inject = (stage == 0) & (ph < M)
+                h_cur = jnp.where(inject, emb, h_cur)
+
+                # this stage computes microbatch ph - stage
+                m = ph - stage
+                active = (m >= 0) & (m < M)
+                mc = jnp.clip(m, 0, M - 1)
+                kcs = jax.lax.dynamic_slice_in_dim(kc, mc * bm, bm, axis=1)
+                vcs = jax.lax.dynamic_slice_in_dim(vc, mc * bm, bm, axis=1)
+                pss = jax.lax.dynamic_slice_in_dim(psl, mc * bm, bm, axis=0)
+                pos_mb = jax.lax.dynamic_slice_in_dim(pos, mc * bm, bm, axis=0)
+                h2, kcs2, vcs2, pss2 = _stage_layers(
+                    cfg, p, kcs, vcs, pss, h_cur, pos_mb, pc.tp
                 )
-                return (h, kc, vc), None
+                # masked write-back (inactive phases rewrite the old slab)
+                kc = jax.lax.dynamic_update_slice_in_dim(
+                    kc, jnp.where(active, kcs2, kcs), mc * bm, axis=1)
+                vc = jax.lax.dynamic_update_slice_in_dim(
+                    vc, jnp.where(active, vcs2, vcs), mc * bm, axis=1)
+                psl = jax.lax.dynamic_update_slice_in_dim(
+                    psl, jnp.where(active, pss2, pss), mc * bm, axis=0)
+                h_cur = jnp.where(active, h2, h_cur)
+                # last stage banks its finished microbatch's activations
+                done = active & (stage == n_stages - 1)
+                old = jax.lax.dynamic_slice_in_dim(out_h, mc * bm, bm, axis=0)
+                out_h = jax.lax.dynamic_update_slice_in_dim(
+                    out_h, jnp.where(done, h_cur, old), mc * bm, axis=0)
+                # relay activations to the next stage over ICI
+                h_cur = jax.lax.ppermute(
+                    h_cur, "stage", [(i, (i + 1) % n_stages) for i in range(n_stages)]
+                )
+                return (h_cur, kc, vc, psl, out_h), None
 
-            (h, kc, vc), _ = jax.lax.scan(phase, (h, kc, vc), jnp.arange(n_stages))
-            # after S phases the final activations sit on stage 0 (they were
-            # produced by stage S-1 and relayed once more); broadcast them so
-            # every stage computes the head (redundant but simple)
-            h = jax.lax.psum(jnp.where(stage == 0, h, jnp.zeros_like(h)), "stage")
+            (h_cur, kc, vc, psl, out_h), _ = jax.lax.scan(
+                phase, (h_cur, kc, vc, psl, out_h), jnp.arange(n_phases)
+            )
+            # finished activations live on the LAST stage; broadcast so every
+            # stage computes the (model-sharded) head
+            h = jax.lax.psum(
+                jnp.where(stage == n_stages - 1, out_h, jnp.zeros_like(out_h)),
+                "stage",
+            )
             out = L.rms_norm(h, p["output_norm"], cfg.norm_eps)
             local_logits = jnp.dot(
-                out.reshape(b * t, -1).astype(jnp.bfloat16),
+                out.reshape(b_l * t, -1).astype(jnp.bfloat16),
                 p["output"].T,
                 preferred_element_type=jnp.float32,
-            ).reshape(b, t, -1)
+            ).reshape(b_l, t, -1)
             # 'output' is sharded over 'model' rows -> gather columns
             logits = jax.lax.all_gather(local_logits, "model", axis=2, tiled=True)
-            return logits, k_cache.at[0].set(kc), v_cache.at[0].set(vc)
+            return logits, k_cache.at[0].set(kc), v_cache.at[0].set(vc), \
+                pos_cache.at[0].set(psl)
 
-        pspec_params = {
-            k: P("stage", *([None] * 3)) if k in ("wq", "wk", "wv", "w_gate", "w_up") else None
-            for k in params
-        }
-        # explicit in_specs matching stack_params shardings
         specs = {
             "wq": P("stage", None, "model", None),
             "wk": P("stage", None, "model", None),
@@ -276,23 +337,18 @@ def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
             "output_norm": P(None),
             "output": P("model", None),
         }
-        del pspec_params
         cache_spec = P("stage", None, "data", None, "model", None)
+        pos_spec = P("stage", "data", None)
         fn = shard_map(
             inner,
             mesh=mesh,
-            in_specs=(
-                specs,
-                cache_spec,
-                cache_spec,
-                P("data", None),
-                P(None),
-                P(),
-            ),
-            out_specs=(P("data", None, None), cache_spec, cache_spec),
+            in_specs=(specs, cache_spec, cache_spec, pos_spec,
+                      P("data", None), P("data", None)),
+            out_specs=(P("data", None, None), cache_spec, cache_spec, pos_spec),
             check_vma=False,
         )
-        logits, k2, v2 = fn(params, cache["k"], cache["v"], tokens, pos, n_past)
-        return logits, {"k": k2, "v": v2}
+        logits, k2, v2, p2 = fn(params, cache["k"], cache["v"], cache["pos"],
+                                tokens, pos2)
+        return logits, {"k": k2, "v": v2, "pos": p2}
 
     return jax.jit(step, donate_argnums=(1,))

@@ -39,6 +39,78 @@ def _reference_logits(params, cfg, tokens):
     return np.asarray(logits)
 
 
+@pytest.mark.parametrize("pp,mb", [(4, 4), (2, 2), (4, 2)])
+def test_microbatch_schedule_matches_single_device(model, pp, mb):
+    """The (M + S - 1)-phase schedule: M microbatches (batch-axis split)
+    flow through S stages with every stage computing a DIFFERENT microbatch
+    per phase — all streams must still match the single-device forward.
+    Stage compute per stage drops from M*S phases (stage-masked sweeps) to
+    M+S-1 (ref: the async split decode's in-flight microbatches,
+    llama.h:285-290, as a static schedule)."""
+    if pp > len(jax.devices()):
+        pytest.skip("not enough devices")
+    params, cfg = model
+    pc = pf.PipeConfig(n_stages=pp, tp=1, dp=1, n_microbatches=mb)
+    mesh = pf.make_mesh(pc)
+    stacked = pf.stack_params(params, cfg, pc, mesh)
+    batch = mb  # one stream per microbatch
+    cache = pf.init_cache(cfg, pc, mesh, batch=batch, max_len=16)
+    step = pf.build_step(cfg, pc, mesh)
+
+    rng = np.random.default_rng(3)
+    toks = rng.integers(1, CFG["n_vocab"], size=(batch, 4)).astype(np.int32)
+    t = toks.shape[1]
+    logits, cache = step(stacked, cache, jnp.asarray(toks),
+                         jnp.arange(t, dtype=jnp.int32), 0)
+    got = np.asarray(logits)
+    for b in range(batch):
+        want = _reference_logits(params, cfg, list(toks[b]))
+        err = np.abs(got[b] - want).max() / (np.abs(want).max() + 1e-6)
+        assert err < 0.03, f"S={pp} M={mb} stream {b}: err {err}"
+
+    # a decode step on top of the filled caches (streams advance together)
+    logits2, cache = step(stacked, cache, jnp.asarray(toks[:, :1] + 1),
+                          jnp.asarray([t], jnp.int32), t)
+    assert np.isfinite(np.asarray(logits2)).all()
+
+
+def test_ring_wrap_positions(model):
+    """Per-slot stored positions make the ring wrap-safe: decoding past
+    max_len must equal a single-device run with a sliding window (the
+    cache holds only the last C positions)."""
+    params, cfg = model
+    pc = pf.PipeConfig(n_stages=2, tp=1, dp=1)
+    mesh = pf.make_mesh(pc)
+    stacked = pf.stack_params(params, cfg, pc, mesh)
+    C = 8
+    cache = pf.init_cache(cfg, pc, mesh, batch=1, max_len=C)
+    step = pf.build_step(cfg, pc, mesh)
+
+    rng = np.random.default_rng(4)
+    seq = rng.integers(1, CFG["n_vocab"], size=14).astype(np.int32)
+    logits = None
+    for i, tok in enumerate(seq):
+        logits, cache = step(stacked, cache, jnp.asarray([[tok]]),
+                             jnp.asarray([i], jnp.int32), i)
+    got = np.asarray(logits)[0, 0]
+
+    # reference: PROGRESSIVE sliding window on the cell cache — before each
+    # decode, evict positions that fell out of the C-token window (ring
+    # semantics: query at pos i sees (i-C, i])
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+
+    ctx = InferenceContext(params, cfg, n_cells=32, cache_dtype=jnp.float32)
+    want = None
+    for i, tok in enumerate(seq):
+        if i >= C:
+            ctx.seq_rm(0, 0, i - C + 1)
+        b = Batch()
+        b.add(int(tok), i, 0)
+        want = ctx.decode(b)[0]
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    assert err < 0.03, f"ring wrap decode err {err}"
+
+
 @pytest.mark.parametrize("pp,tp,dp", [(2, 2, 2), (4, 2, 1), (2, 1, 1), (1, 2, 1)])
 def test_fused_pipeline_matches_single_device(model, pp, tp, dp):
     if pp * tp * dp > len(jax.devices()):
