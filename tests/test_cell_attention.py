@@ -50,6 +50,24 @@ def test_flash_matches_dense(rng, t, c):
     np.testing.assert_allclose(got[v], want[v], rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("c,hot", [(1024, 0), (2048, 0), (2048, 1024)])
+def test_flash_default_block_promotion(rng, c, hot):
+    """With block_c unspecified, pools that are 1024-multiples promote to
+    1024-cell blocks (the adaptive default); the promoted kernel must
+    still match dense, with and without a hot bound."""
+    q, kc, vc, pos, seq, tok_pos, tok_seq, valid = _setup(rng, t=4, c=c)
+    scale = 0.125
+    want = np.asarray(_dense(q, kc, vc, pos, seq, tok_pos, tok_seq, valid, scale))
+    kwargs = dict(scale=scale, interpret=True)
+    if hot:
+        kwargs["hot"] = hot
+    got = np.asarray(cell_attention(
+        q, kc, vc, pos, seq, tok_pos, tok_seq, valid, **kwargs
+    ))
+    v = np.asarray(valid)
+    np.testing.assert_allclose(got[v], want[v], rtol=2e-5, atol=2e-5)
+
+
 def test_flash_alibi(rng):
     q, kc, vc, pos, seq, tok_pos, tok_seq, valid = _setup(rng, t=4, c=512)
     scale = 0.125

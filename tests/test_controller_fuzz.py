@@ -1,0 +1,158 @@
+"""Adversarial/property tests for the async controller state machine:
+randomized draft quality, tick interleavings, KV pools sized to force
+backpressure, and multi-stream scheduling — golden tokens, no leaked
+offsets, no deadlock (VERDICT r2 item 7; SURVEY §4 "deterministic
+multi-stage simulation" ask — the reference's trickiest failure modes,
+stale runs and find_slot exhaustion, are exactly what these stress)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pipeinfer_tpu.models import load_model
+from pipeinfer_tpu.runtime.context import Batch, CacheFull, InferenceContext
+from pipeinfer_tpu.sampling.samplers import SamplerState, SamplingParams, sample
+from pipeinfer_tpu.spec.controller import PipeInferController
+from pipeinfer_tpu.spec.multi import MultiPipeInfer, SpecRequest
+from pipeinfer_tpu.spec.params import SpecParams
+from pipeinfer_tpu.tools import testmodel
+
+CFG = dict(n_layers=2, n_embd=128, n_heads=4, n_kv_heads=2, n_ff=256, n_vocab=160)
+
+
+@pytest.fixture(scope="module")
+def target(tmp_path_factory):
+    path = tmp_path_factory.mktemp("fuzz") / "tgt.gguf"
+    testmodel.build_tiny_llama(path, seed=7, **CFG)
+    return load_model(path)
+
+
+@pytest.fixture(scope="module")
+def bad_draft(tmp_path_factory):
+    """A draft that disagrees with the target almost everywhere (different
+    seed): maximal divergence/cancellation pressure."""
+    path = tmp_path_factory.mktemp("fuzz") / "dft.gguf"
+    testmodel.build_tiny_llama(path, seed=23, **CFG)
+    return load_model(path)
+
+
+def _golden(params, cfg, prompt, n_predict):
+    ctx = InferenceContext(params, cfg, n_cells=128, cache_dtype=jnp.float32)
+    sampler = SamplerState(params=SamplingParams(temp=0.0))
+    # default SamplingParams carry repetition penalties: the prompt enters
+    # the penalty window exactly as the controller's start_generation does
+    for t in prompt:
+        sampler.accept(t, apply_grammar=False)
+    b = Batch()
+    for i, t in enumerate(prompt):
+        b.add(t, i, 0, want_logits=(i == len(prompt) - 1))
+    logits = ctx.decode(b)[-1]
+    out = []
+    n_past = len(prompt)
+    for _ in range(n_predict):
+        tok = sample(sampler, logits)
+        sampler.accept(tok)
+        out.append(tok)
+        b.clear()
+        b.add(tok, n_past, 0)
+        logits = ctx.decode(b)[0]
+        n_past += 1
+    return out
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_fuzz_random_params_and_ticks(target, bad_draft, seed):
+    """Random spec knobs + random blocking/non-blocking tick interleavings
+    + a hostile draft: tokens must stay golden, the offset pool must come
+    back intact, and every branch cell must be reclaimed."""
+    tparams, tcfg = target
+    dparams, dcfg = bad_draft
+    rng = np.random.default_rng(seed)
+    prompt = [int(x) for x in rng.integers(3, CFG["n_vocab"] - 1, size=4)]
+    n_predict = int(rng.integers(8, 20))
+    sp = SpecParams(
+        n_draft=int(rng.integers(2, 7)),
+        n_parallel=int(rng.integers(1, 4)),
+        p_accept=float(rng.choice([0.0, 0.1, 0.4])),
+        p_split=float(rng.choice([0.5, 0.9])),
+        max_inflight=int(rng.integers(1, 5)),
+    )
+    want = _golden(tparams, tcfg, prompt, n_predict)
+
+    tgt = InferenceContext(tparams, tcfg, n_cells=256, cache_dtype=jnp.float32)
+    dft = InferenceContext(dparams, dcfg, n_cells=256, cache_dtype=jnp.float32)
+    c = PipeInferController(tgt, dft, SamplingParams(temp=0.0), sp, eos_id=-1)
+    n_offsets = len(c.free_offsets) + 0
+
+    c.start_generation(list(prompt), n_predict)
+    ticks = 0
+    while not c.done:
+        ticks += 1
+        assert ticks < 5000, "controller deadlocked / livelocked"
+        c.tick(block=bool(rng.random() < 0.4))
+    got = c.finish_generation()
+
+    assert got == want, f"seed {seed}: {got} vs {want}"
+    assert len(c.free_offsets) == n_offsets, "leaked sequence offsets"
+    # every non-committed sequence slot must be fully reclaimed
+    live = np.uint64(0)
+    for sq in range(1, 64):
+        live |= np.uint64((tgt.h_seq >> np.uint64(sq)) & np.uint64(1)).any()
+    assert not live, "leaked branch cells on the target"
+
+
+@pytest.mark.parametrize("n_cells", [40, 56])
+def test_cache_full_backpressure(target, bad_draft, n_cells):
+    """KV pools barely larger than the committed stream: speculation must
+    hit CacheFull, back off, and STILL finish with golden tokens (the
+    reference asserts inside find_slot instead of degrading)."""
+    tparams, tcfg = target
+    dparams, dcfg = bad_draft
+    prompt = [3, 17, 42, 7]
+    n_predict = 16
+    want = _golden(tparams, tcfg, prompt, n_predict)
+    sp = SpecParams(n_draft=6, n_parallel=2, p_accept=0.0, max_inflight=4)
+    tgt = InferenceContext(tparams, tcfg, n_cells=n_cells, cache_dtype=jnp.float32)
+    dft = InferenceContext(dparams, dcfg, n_cells=n_cells, cache_dtype=jnp.float32)
+    c = PipeInferController(tgt, dft, SamplingParams(temp=0.0), sp, eos_id=-1)
+    got = c.generate(list(prompt), n_predict)
+    assert got == want, f"n_cells={n_cells}: {got} vs {want}"
+    assert len(c.free_offsets) == sp.max_inflight
+
+
+def test_fuzz_multi_stream_interleaving(target, bad_draft):
+    """Three concurrent streams under MultiPipeInfer with a hostile draft:
+    each stream's tokens must match its own single-stream golden, across
+    arbitrary cooperative step() interleavings."""
+    tparams, tcfg = target
+    dparams, dcfg = bad_draft
+    rng = np.random.default_rng(11)
+    prompts = [
+        [int(x) for x in rng.integers(3, CFG["n_vocab"] - 1, size=int(rng.integers(3, 6)))]
+        for _ in range(3)
+    ]
+    n_predicts = [int(rng.integers(6, 14)) for _ in range(3)]
+    goldens = [
+        _golden(tparams, tcfg, p, n) for p, n in zip(prompts, n_predicts)
+    ]
+
+    tgt = InferenceContext(tparams, tcfg, n_cells=512, cache_dtype=jnp.float32)
+    dft = InferenceContext(dparams, dcfg, n_cells=512, cache_dtype=jnp.float32)
+    eng = MultiPipeInfer(
+        tgt, dft, SamplingParams(temp=0.0),
+        SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=2),
+        eos_id=-1,
+    )
+    reqs = [
+        eng.submit(prompt_ids=p, n_predict=n, ignore_eos=True)
+        for p, n in zip(prompts, n_predicts)
+    ]
+    steps = 0
+    while not all(r.done for r in reqs):
+        steps += 1
+        assert steps < 20000, "multi-stream engine deadlocked"
+        eng.step()
+    for i, r in enumerate(reqs):
+        assert r.error is None, r.error
+        assert r.tokens == goldens[i], f"stream {i}: {r.tokens} vs {goldens[i]}"
