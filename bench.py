@@ -104,6 +104,8 @@ def main():
     ap.add_argument("--inflight", type=int, default=4, help="max in-flight runs")
     ap.add_argument("--prompt-len", type=int, default=25,
                     help="prompt tokens (prefill cost / TTFT scale with this)")
+    ap.add_argument("--no-degraded", action="store_true",
+                    help="skip the degraded-draft (eps=0.02, draft=8) row")
     ap.add_argument("--compare", action="store_true",
                     help="also run the synchronous-speculation baseline and "
                          "append {Sequential, Speculative, PipeInfer} rows "
@@ -354,16 +356,73 @@ def main():
         log("results.csv += {Sequential, Speculative, PipeInfer} rows "
             "(render: pipeinfer-results results.csv --plot bench.png)")
 
-    print(
-        json.dumps(
-            {
-                "metric": "pipeinfer_decode_tokens_per_sec",
-                "value": round(spec_tps, 3),
-                "unit": "tokens/s",
-                "vs_baseline": round(spec_tps / base_tps, 4),
-            }
+    # ---- degraded-draft row (honest-acceptance regime) ------------------
+    # The perfect-draft number above is speculation's best case by
+    # construction. The reference's tuning envelope (README.md:191-220)
+    # lives at imperfect acceptance with draft <= 8 — report that regime
+    # in the same JSON so the captured bench carries both truths
+    # (VERDICT r2 "make the driver-captured bench honest by default").
+    degraded = None
+    if not args.quick and args.eps == 0.0 and not args.no_degraded:
+        deg_eps, deg_draft = 0.02, 8
+        dtag = f"v2_{args.scale}_e{deg_eps:g}"
+        tgt2_path = tmp / f"bench_{dtag}_tgt.gguf"
+        dft2_path = tmp / f"bench_{dtag}_dft.gguf"
+        if not (tgt2_path.exists() and dft2_path.exists()):
+            testmodel.build_bench_pair(
+                tgt2_path, dft2_path, scale=args.scale, eps=deg_eps, log=log
+            )
+        # eps only degrades the DRAFT head; the target file is content-
+        # identical, so reuse the already-resident target weights
+        dparams2, dcfg2 = load_model(dft2_path)
+        sp2 = SpecParams(n_draft=deg_draft, n_parallel=1, p_accept=0.1,
+                         p_split=0.9, max_inflight=args.inflight)
+        cw = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+            GREEDY, sp2, eos_id=-1,
         )
-    )
+        cw.generate(list(prompt), min(n_predict, 3 * CHAIN))  # warm new depth
+        c2 = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+            GREEDY, sp2, eos_id=-1,
+        )
+        t0 = time.time()
+        deg_tokens = c2.generate(list(prompt), n_predict)
+        deg_dt = time.time() - t0
+        deg_tps = len(deg_tokens) / deg_dt
+        st2, m2 = c2.stats, c2.metrics
+        log(
+            f"pipeinfer degraded (eps={deg_eps}, draft={deg_draft}): "
+            f"{deg_tps:.2f} tok/s, decided accept "
+            f"{100 * st2.accept_rate_decided:.1f}%, runs {m2.n_runs} "
+            f"({m2.n_canceled_runs} canceled), dead work "
+            f"{100 * m2.dead_work_frac:.1f}%"
+        )
+        if deg_tokens[: min(len(deg_tokens), len(base_tokens))] != base_tokens[: min(len(deg_tokens), len(base_tokens))]:
+            log("WARNING: degraded-draft tokens diverge from baseline (greedy)")
+        degraded = {
+            "eps": deg_eps,
+            "n_draft": deg_draft,
+            "tokens_per_sec": round(deg_tps, 3),
+            "vs_baseline": round(deg_tps / base_tps, 4),
+            "accept_decided": round(st2.accept_rate_decided, 4),
+            "dead_work_frac": round(m2.dead_work_frac, 4),
+        }
+
+    out = {
+        "metric": "pipeinfer_decode_tokens_per_sec",
+        "value": round(spec_tps, 3),
+        "unit": "tokens/s",
+        "vs_baseline": round(spec_tps / base_tps, 4),
+        "baseline_tokens_per_sec": round(base_tps, 3),
+        "prefill_tokens": len(prompt),
+        "prefill_s": round(t_prefill, 3),
+    }
+    if degraded:
+        out["degraded"] = degraded
+    print(json.dumps(out))
 
 
 def rng_tokens(n):
