@@ -680,24 +680,49 @@ def _shared_step(forward, cfg, topk):
     return step
 
 
+def _device_draft_sample(row, samp, key):
+    """Sample one draft token on device from a logits row under the
+    (temp, top_k, top_p, min_p) chain via the Gumbel-max trick — the
+    fused-run counterpart of the host draft sampler
+    (ref: common/sampling.cpp:140-200 chain; used at speculative.cpp:274).
+    Output-distribution correctness does NOT depend on this matching the
+    host chain bit-for-bit (token-matching verification samples the
+    TARGET on the host); the draft sampler only shapes acceptance."""
+    temp, top_k, top_p, min_p = samp
+    k = min(max(int(top_k), 1), row.shape[-1]) if top_k > 0 else min(64, row.shape[-1])
+    vals, ids = jax.lax.top_k(row, k)
+    logp = jax.nn.log_softmax(vals / max(temp, 1e-6))
+    probs = jnp.exp(jax.nn.log_softmax(vals))  # pre-temp probs for p-gates
+    cum = jnp.cumsum(probs) - probs
+    allow = cum < top_p
+    if min_p > 0:
+        allow &= probs >= min_p * probs[0]
+    allow = allow.at[0].set(True)  # the top token always survives
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, (k,), minval=1e-9, maxval=1.0)))
+    pick = jnp.argmax(jnp.where(allow, logp + g, -jnp.inf))
+    return ids[pick].astype(jnp.int32)
+
+
 @functools.lru_cache(maxsize=None)
-def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk):
+def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk, samp=None):
     """ONE program per speculative run: draft-chain `depth` tokens on the
     draft model (lax.scan) and immediately batch-verify them on the target
     — the drafted tokens never leave the device between the two phases.
     The reference pays (depth draft decodes + 1 target dispatch) worth of
     host round trips per run; here a run is one dispatch + one eager fetch
     of a combined [depth, 2*topk+2] row pack (target sparse logits ++
-    chain token). The draft side is greedy by construction (fused runs
-    require a deterministic sampler), so the chain step is a bare argmax —
-    no per-step draft top-k/normalizer is computed or shipped.
+    chain token). samp=None drafts greedily (bare argmax — the
+    deterministic fast path); samp=(temp, top_k, top_p, min_p) drafts
+    stochastically on device (Gumbel-max over the top-k), taking an extra
+    PRNG-key argument — the common temp>0 serving case keeps the
+    one-dispatch shape instead of paying a host RTT per tree depth.
     (ref: start_async_spec_run speculative.cpp:881-1180 collapsed into the
     phase-0 dispatch; phase 1 = the eager fetch.)"""
 
     @functools.partial(jax.jit, donate_argnums=(1, 3))
     def fused(dparams, dcache, tparams, tcache,
               root_token, dpos0, dseq_id, dcells,
-              tpos, tseq, tcells, tseq_bits, src_seq):
+              tpos, tseq, tcells, tseq_bits, src_seq, *key):
         # branch-seq preparation folded in (was 2 extra dispatches per run):
         # clear the run's seq slot and share src's prefix cells into it
         dcache = kv.seq_rm(dcache, dseq_id, 0, -1)
@@ -712,7 +737,12 @@ def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk):
                 tok[None], pos[None], dseq_id[None], dcells[i][None],
                 jnp.ones(1, bool), None,
             )
-            nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            if samp is None:
+                nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+            else:
+                nxt = _device_draft_sample(
+                    logits[0], samp, jax.random.fold_in(key[0], i)
+                )
             return (dcache, nxt, pos + 1), nxt
 
         (dcache, _, _), toks = jax.lax.scan(

@@ -180,6 +180,13 @@ class PipeInferController:
         # fused dispatch (one program per run, device-chained roots): see
         # spec/fused.py for eligibility; falls back to host drafting
         self.use_fused = fused.supported(self)
+        # per-run draft-sampler seeds (stochastic fused runs); derived from
+        # the sampling seed so seeded generations are reproducible
+        self._fused_seed = (sampling.seed if sampling.seed >= 0 else 0) * 1000003
+
+    def _next_fused_seed(self) -> int:
+        self._fused_seed += 1
+        return self._fused_seed & 0x7FFFFFFF
 
     # -- helpers ------------------------------------------------------------
 
@@ -344,6 +351,8 @@ class PipeInferController:
             self.dft, self.tgt,
             root=self.chain_root, spec_base=self.spec_base,
             offset=offset, depth=depth, topk=self.topk, src_seq=src_seq,
+            samp=fused.draft_samp(self.sampling),
+            seed=self._next_fused_seed(),
         )
         br = drafting.DraftBranch(active=True)
         br.tokens = None  # pending until the eager fetch lands

@@ -30,7 +30,10 @@ from ..sampling.samplers import SparseLogits
 
 
 def supported(ctrl) -> bool:
-    """Can this controller use fused runs?"""
+    """Can this controller use fused runs? Greedy AND stochastic samplers
+    qualify (temp>0 drafts on-device via the Gumbel chain; verification
+    samples the target on the host either way, so output correctness never
+    depends on the draft sampler)."""
     s = ctrl.sampling
     no_penalties = (
         s.penalty_last_n == 0
@@ -48,6 +51,15 @@ def supported(ctrl) -> bool:
     )
 
 
+def draft_samp(sampling) -> tuple | None:
+    """The device draft-sampler config for a SamplingParams, or None for
+    greedy (temp<=0)."""
+    if sampling.temp <= 0:
+        return None
+    return (float(sampling.temp), int(sampling.top_k),
+            float(sampling.top_p), float(sampling.min_p))
+
+
 def launch(
     dft: InferenceContext,
     tgt: InferenceContext,
@@ -58,6 +70,8 @@ def launch(
     depth: int,
     topk: int,
     src_seq: int = 0,  # seq whose prefix cells the run's branch seq shares
+    samp: tuple | None = None,  # (temp, top_k, top_p, min_p) or None=greedy
+    seed: int = 0,  # per-run PRNG seed (stochastic drafting only)
 ):
     """Dispatch one fused speculative run. Returns (handle, next_root_dev).
 
@@ -82,14 +96,20 @@ def launch(
     seq_bits[:, 1] = np.uint32(mask64 >> np.uint64(32))
 
     fn = _shared_fused_spec(
-        dft._forward, dft.cfg, tgt._forward, tgt.cfg, depth, topk
+        dft._forward, dft.cfg, tgt._forward, tgt.cfg, depth, topk, samp
     )
     root_arg = root if hasattr(root, "dtype") else np.int32(root)
+    extra = ()
+    if samp is not None:
+        import jax
+
+        extra = (jax.random.PRNGKey(seed),)
     out, dft.cache, tgt.cache = fn(
         dft.params, dft.cache, tgt.params, tgt.cache,
         root_arg, np.int32(spec_base - 1), np.int32(offset),
         dcells.astype(np.int32),
         tpos, tseq, tcells.astype(np.int32), seq_bits, np.int32(src_seq),
+        *extra,
     )
     col = 2 * topk + 1
     next_root = out[depth - 1, col].astype(np.int32)  # device scalar, no fetch

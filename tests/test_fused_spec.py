@@ -94,3 +94,42 @@ def test_fused_token_exact_divergent_draft(models):
     got = c.generate(list(PROMPT), N)
     assert got == ref
     assert c.metrics.n_canceled_runs > 0 or c.stats.accept_rate < 0.9
+
+
+STOCH = SamplingParams(temp=0.8, penalty_repeat=1.0, penalty_last_n=0, seed=42)
+
+
+def test_fused_stochastic_selected_and_reproducible(models):
+    """temp>0 keeps the fused one-dispatch path (device Gumbel drafting);
+    seeded generations are bit-reproducible across fresh engines."""
+    tm, dm = models
+
+    def run():
+        c = PipeInferController(
+            _ctx(tm), _ctx(dm), STOCH,
+            SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3),
+            eos_id=-1,
+        )
+        assert c.use_fused
+        return c.generate([3, 17, 42], 12)
+
+    a, b = run(), run()
+    assert a == b, f"seeded stochastic fused runs diverge: {a} vs {b}"
+    assert len(a) == 12
+
+
+def test_fused_stochastic_top1_matches_greedy(models):
+    """top_k=1 collapses the stochastic chain to argmax: the fused
+    stochastic program's output must equal plain greedy decoding exactly
+    (end-to-end correctness of the temp>0 path)."""
+    tm, dm = models
+    want = _plain_greedy(tm, [3, 17, 42], 12)
+    c = PipeInferController(
+        _ctx(tm), _ctx(dm),
+        SamplingParams(temp=0.7, top_k=1, penalty_repeat=1.0, penalty_last_n=0, seed=1),
+        SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3),
+        eos_id=-1,
+    )
+    assert c.use_fused
+    got = c.generate([3, 17, 42], 12)
+    assert got == want, f"{got} vs {want}"
