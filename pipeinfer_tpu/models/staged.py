@@ -61,8 +61,15 @@ def stage_forward(
     slopes = None
     if cfg.max_alibi_bias > 0:
         if tp_axis is not None:
-            raise NotImplementedError("ALiBi slopes are global-head indexed; no TP yet")
-        slopes = kv.alibi_slopes(cfg.n_heads, cfg.max_alibi_bias)
+            # slopes are GLOBAL-head indexed; cfg here is shard-local, so
+            # build the full table and slice this shard's head block
+            tp = jax.lax.axis_size(tp_axis)
+            full = kv.alibi_slopes(cfg.n_heads * tp, cfg.max_alibi_bias)
+            slopes = jax.lax.dynamic_slice_in_dim(
+                full, jax.lax.axis_index(tp_axis) * cfg.n_heads, cfg.n_heads
+            )
+        else:
+            slopes = kv.alibi_slopes(cfg.n_heads, cfg.max_alibi_bias)
     rope_kw = dict(
         mode=cfg.rope_mode,
         freq_base=cfg.rope_base,

@@ -37,7 +37,12 @@ from ..runtime import kv_cache as kv
 # slots sharded along their output dim (plus their biases)
 _SHARD_W = {"wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down", "output"}
 _SHARD_B = {"bq", "bk", "bv", "bo", "b_gate", "b_up", "b_down"}
-_TP_UNSUPPORTED = {"wqkv", "bqkv"}  # fused qkv interleaves heads across N
+# fused qkv: GGUF normalizes to block order [Q-rows; K-rows; V-rows] with
+# head-ordered rows per segment (ref: convert-hf-to-gguf BloomModel
+# reordering), so each segment splits on head boundaries and the shard
+# keeps its own fused [q_i; k_i; v_i] layout (generic.layer_step slices it
+# with the shard-local dims)
+_FUSED_QKV = {"wqkv", "bqkv"}
 
 
 def tp_mesh(devices: Sequence) -> Mesh:
@@ -65,13 +70,57 @@ def _stack_dense(w: jax.Array, tp: int) -> jax.Array:
     return jnp.stack(jnp.split(w, tp, axis=0))
 
 
-def _shard_leaf(slot: str, w, tp: int):
+def _qkv_segs(cfg: ModelConfig) -> tuple[int, int, int]:
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    return (cfg.n_heads * cfg.head_dim, kv_dim, kv_dim)
+
+
+def _stack_dense_segs(w: jax.Array, tp: int, segs) -> jax.Array:
+    """Fused [Q;K;V] rows -> [tp, (q+k+v)/tp, ...]: split each segment by
+    tp, re-fuse per shard."""
+    bounds = np.cumsum([0, *segs])
+    parts = [jnp.split(w[bounds[i]: bounds[i + 1]], tp, axis=0) for i in range(len(segs))]
+    return jnp.stack([
+        jnp.concatenate([parts[s][i] for s in range(len(segs))], axis=0)
+        for i in range(tp)
+    ])
+
+
+def _stack_qt_segs(qt: QuantTensor, tp: int, segs) -> QuantTensor:
+    """Fused-qkv QuantTensor: k_major planes are [rows_k, N] — the N
+    (output) axis splits per segment, scales/bias planes alongside."""
+    n, k = qt.shape
+    bounds = np.cumsum([0, *segs])
+    assert bounds[-1] == n and all(s % tp == 0 for s in segs), (segs, n, tp)
+
+    def stk(plane):
+        if plane is None:
+            return None
+        parts = [
+            jnp.split(plane[:, bounds[i]: bounds[i + 1]], tp, axis=1)
+            for i in range(len(segs))
+        ]
+        return jnp.stack([
+            jnp.concatenate([parts[s][i] for s in range(len(segs))], axis=1)
+            for i in range(tp)
+        ])
+
+    return QuantTensor(
+        qs=stk(qt.qs), qh=stk(qt.qh), scales=stk(qt.scales), bias=stk(qt.bias),
+        qtype=qt.qtype, shape=(n // tp, k), layout=qt.layout,
+    )
+
+
+def _shard_leaf(slot: str, w, tp: int, cfg: ModelConfig | None = None):
     """Returns (stacked_value, is_sharded)."""
-    if slot in _TP_UNSUPPORTED:
-        raise NotImplementedError(
-            f"tensor-parallel sharding of fused {slot} is unsupported "
-            "(head-interleaved output dim); llama-family split weights only"
-        )
+    if slot in _FUSED_QKV:
+        assert cfg is not None
+        segs = _qkv_segs(cfg)
+        if isinstance(w, QuantTensor):
+            if w.layout != "k_major":
+                raise NotImplementedError("TP expects k_major matmul weights")
+            return _stack_qt_segs(w, tp, segs), True
+        return _stack_dense_segs(w, tp, segs), True
     if slot in _SHARD_W:
         if isinstance(w, QuantTensor):
             if w.layout != "k_major":
@@ -91,7 +140,7 @@ def shard_params(params, cfg: ModelConfig, mesh: Mesh):
     tp = mesh.shape["model"]
 
     def handle(slot, w):
-        sv, sharded = _shard_leaf(slot, w, tp)
+        sv, sharded = _shard_leaf(slot, w, tp, cfg)
         spec = _lead_spec(sv) if sharded else _rep_spec(sv)
         placed = jax.device_put(
             sv, jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), spec)

@@ -169,7 +169,7 @@ def test_mpt_parity(tmp_path):
     _check(_run_ours(path, TOKENS), want, tol=8e-3)
 
 
-def test_bloom_parity(tmp_path):
+def _make_bloom(path):
     conf = tf.BloomConfig(
         vocab_size=160, hidden_size=64, n_layer=2, n_head=4,
         layer_norm_epsilon=1e-5,
@@ -177,7 +177,6 @@ def test_bloom_parity(tmp_path):
     torch.manual_seed(4)
     hf = tf.BloomForCausalLM(conf).eval()
     sd = _sd(hf)
-    path = tmp_path / "bloom.gguf"
     w = GGUFWriter(path, "bloom")
     _common_kv(w, n_embd=64, n_layers=2, n_heads=4, n_kv=4, n_ff=256, n_vocab=160,
                eps=1e-5, alibi=8.0)
@@ -212,10 +211,43 @@ def test_bloom_parity(tmp_path):
         w.add_tensor(f"blk.{i}.ffn_down.weight", sd[p + "mlp.dense_4h_to_h.weight"])
         w.add_tensor(f"blk.{i}.ffn_down.bias", sd[p + "mlp.dense_4h_to_h.bias"])
     w.write()
+    return hf
 
+
+def test_bloom_parity(tmp_path):
+    path = tmp_path / "bloom.gguf"
+    hf = _make_bloom(path)
     with torch.no_grad():
         want = hf(torch.tensor([TOKENS])).logits[0].numpy()
     _check(_run_ours(path, TOKENS), want, tol=8e-3)
+
+
+def test_bloom_tensor_parallel(tmp_path):
+    """ALiBi + fused-qkv arch under 2-way TP: global-head slope slicing
+    and per-segment fused-qkv sharding must reproduce the single-device
+    logits (closes the r2 'ALiBi archs can't run TP' gap)."""
+    import jax
+
+    from pipeinfer_tpu.parallel.tp import tp_mesh
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    path = tmp_path / "bloom.gguf"
+    _make_bloom(path)
+    params, cfg = load_model(path)
+
+    def run(mesh):
+        ctx = InferenceContext(params, cfg, n_cells=64, cache_dtype=jnp.float32,
+                               mesh=mesh)
+        b = Batch()
+        for i, t in enumerate(TOKENS):
+            b.add(t, i, 0, want_logits=True)
+        return np.asarray(ctx.decode(b))
+
+    want = run(None)
+    got = run(tp_mesh(jax.devices()[:2]))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
 
 
 def test_stablelm_parity(tmp_path):
