@@ -31,6 +31,13 @@ import jax.numpy as jnp
 
 from ..ops.layers import apply_rope
 
+# Sequence-slot ceiling: 32*SEQ_WORDS concurrent slots. The reference keeps
+# a 1000-entry seq-offset pool (speculative.cpp:140-145) because its cells
+# store arbitrary-size seq-id SETS; here membership is a fixed bitmask so
+# the mask fits device registers and seq ops stay O(cells). 64 slots carry
+# ~16 concurrent speculative streams at the default stride (spec/multi.py
+# carves per-request namespaces); raise SEQ_WORDS to widen — every format
+# below scales with it (masks are [C, SEQ_WORDS]), at +4 bytes/cell/word.
 SEQ_WORDS = 2  # up to 64 concurrent sequence slots
 MASK_VALUE = -1e9  # additive mask (finite to avoid exp(-inf - -inf) NaN)
 
