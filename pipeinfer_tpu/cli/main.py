@@ -29,11 +29,20 @@ def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16",
         from ..utils.compile_cache import enable
 
         enable()
-    params, cfg = load_model(model_path)
-    for adapter_path, scale in lora or []:
+    # LoRA deltas target the SPLIT projection slots: apply before fusing
+    params, cfg = load_model(model_path, fuse=False if lora else None)
+    if lora:
+        from ..models.loader import fuse_projections
         from ..tools.lora import apply_lora
 
-        params = apply_lora(params, adapter_path, scale)
+        for adapter_path, scale in lora:
+            params = apply_lora(params, adapter_path, scale)
+        import jax as _jax
+        import os as _os
+
+        if (_jax.default_backend() == "tpu"
+                and _os.environ.get("PIPEINFER_FUSE_PROJ", "1") != "0"):
+            fuse_projections(params)
     tok = None
     with GGUFReader(model_path) as r:
         try:

@@ -171,15 +171,20 @@ def _ffn(x, lp, cfg: ModelConfig, tp_axis: str | None = None):
     relu-squared (persimmon LLM_FFN_RELU_SQR). Under TP, gate/up/down are
     all output-sharded: the ffn intermediate is gathered before w_down and
     the result gathered after (see layer_step docstring)."""
-    up = linear(x, lp["w_up"], lp.get("b_up"))
-    if "w_gate" in lp:
-        gate = L.silu(linear(x, lp["w_gate"], lp.get("b_gate")))
-        mid = gate * up
-    elif cfg.ffn_act == "relu2":
-        r = jnp.maximum(up.astype(jnp.float32), 0.0)
-        mid = (r * r).astype(up.dtype)
+    if "wgu" in lp:  # load-time fused gate+up (one kernel call); n_ff is
+        #              shard-local under TP (wgu shards per segment)
+        gu = linear(x, lp["wgu"])
+        mid = L.silu(gu[:, : cfg.n_ff]) * gu[:, cfg.n_ff:]
     else:
-        mid = jax.nn.gelu(up.astype(jnp.float32), approximate=False).astype(up.dtype)
+        up = linear(x, lp["w_up"], lp.get("b_up"))
+        if "w_gate" in lp:
+            gate = L.silu(linear(x, lp["w_gate"], lp.get("b_gate")))
+            mid = gate * up
+        elif cfg.ffn_act == "relu2":
+            r = jnp.maximum(up.astype(jnp.float32), 0.0)
+            mid = (r * r).astype(up.dtype)
+        else:
+            mid = jax.nn.gelu(up.astype(jnp.float32), approximate=False).astype(up.dtype)
     if tp_axis is not None:
         mid = jax.lax.all_gather(mid, tp_axis, axis=1, tiled=True)
     out = linear(mid, lp["w_down"], lp.get("b_down"))

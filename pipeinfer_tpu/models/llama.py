@@ -76,11 +76,19 @@ def forward(
         n_orig_ctx=cfg.n_ctx_orig or cfg.n_ctx_train,
     )
 
+    n_embd_q = cfg.n_heads * cfg.head_dim
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
     for li, lp in enumerate(params["layers"]):
         a = L.rms_norm(h, lp["attn_norm"], cfg.norm_eps)
-        q = linear(a, lp["wq"]).reshape(t, cfg.n_heads, cfg.head_dim)
-        k = linear(a, lp["wk"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
-        v = linear(a, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        if "wqkv" in lp:  # load-time fused projections (one kernel call)
+            qkv = linear(a, lp["wqkv"])
+            q = qkv[:, :n_embd_q].reshape(t, cfg.n_heads, cfg.head_dim)
+            k = qkv[:, n_embd_q: n_embd_q + kv_dim].reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            v = qkv[:, n_embd_q + kv_dim:].reshape(t, cfg.n_kv_heads, cfg.head_dim)
+        else:
+            q = linear(a, lp["wq"]).reshape(t, cfg.n_heads, cfg.head_dim)
+            k = linear(a, lp["wk"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
+            v = linear(a, lp["wv"]).reshape(t, cfg.n_kv_heads, cfg.head_dim)
         if cfg.rope_mode != "none":
             q = L.apply_rope(q, pos, cfg.rope_dims, **rope_kw)
             k = L.apply_rope(k, pos, cfg.rope_dims, **rope_kw)
@@ -89,8 +97,13 @@ def forward(
         h = h + linear(attn.reshape(t, cfg.n_heads * cfg.head_dim), lp["wo"])
 
         f = L.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        gate = L.silu(linear(f, lp["w_gate"]))
-        up = linear(f, lp["w_up"])
+        if "wgu" in lp:
+            gu = linear(f, lp["wgu"])
+            gate = L.silu(gu[:, : cfg.n_ff])
+            up = gu[:, cfg.n_ff:]
+        else:
+            gate = L.silu(linear(f, lp["w_gate"]))
+            up = linear(f, lp["w_up"])
         h = h + linear(gate * up, lp["w_down"])
 
     out = L.rms_norm(h, params["output_norm"], cfg.norm_eps)

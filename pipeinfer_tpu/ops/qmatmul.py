@@ -445,6 +445,39 @@ def _k4_planes_jit(qs, scales, bias):
     return qs_t, s_lo, s_hi, b_lo, b_hi
 
 
+def concat_qt(qts: list[QuantTensor]) -> QuantTensor | None:
+    """Concatenate QuantTensors along their OUTPUT (N) dim — one fused
+    HBM tensor for projections that share an input (wq+wk+wv, gate+up),
+    so the decode step issues ONE kernel call with a larger N tile
+    instead of several small ones (per-call overhead and small-N DMA
+    inefficiency are a measurable slice of the 7B sequential step).
+
+    Requires identical (qtype, layout, K); all supported layouts keep N
+    as the LAST plane axis, so this is a lane-axis concat of every
+    plane. Returns None when the tensors can't fuse (mixed ftypes —
+    e.g. Q4_K_M quantizes w_v at Q6_K — or mixed layouts)."""
+    first = qts[0]
+    if any(
+        q.qtype != first.qtype or q.layout != first.layout
+        or q.shape[1] != first.shape[1] for q in qts[1:]
+    ):
+        return None
+    if first.layout == "n_major":
+        return None  # row-major planes concat on axis 0; not a matmul layout
+
+    def cat(attr):
+        planes = [getattr(q, attr) for q in qts]
+        if any(p is None for p in planes):
+            return None
+        return jnp.concatenate(planes, axis=1)
+
+    return QuantTensor(
+        qs=cat("qs"), qh=cat("qh"), scales=cat("scales"), bias=cat("bias"),
+        qtype=first.qtype, shape=(sum(q.shape[0] for q in qts), first.shape[1]),
+        layout=first.layout, scales2=cat("scales2"), bias2=cat("bias2"),
+    )
+
+
 def dequant_rows(qt: QuantTensor, rows: jax.Array, dtype=jnp.float32) -> jax.Array:
     """Gather + dequantize selected rows of W (token-embedding lookup) —
     the TPU analogue of the reference's per-token `ggml_get_rows` on

@@ -87,10 +87,25 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
             return dequant(w, dtype)
         return jnp.asarray(w, dtype)
 
+    kv_dim = cfg.n_kv_heads * cfg.head_dim
+    n_q = cfg.n_heads * cfg.head_dim
+    # fused-load slots de-fuse here (this path re-stacks dense anyway)
+    _SEGS = {
+        "wq": ("wqkv", 0, n_q), "wk": ("wqkv", n_q, n_q + kv_dim),
+        "wv": ("wqkv", n_q + kv_dim, n_q + 2 * kv_dim),
+        "w_gate": ("wgu", 0, cfg.n_ff), "w_up": ("wgu", cfg.n_ff, 2 * cfg.n_ff),
+    }
+
+    def get(lp, slot):
+        if slot in lp:
+            return dense(lp[slot])
+        fused, lo, hi = _SEGS[slot]
+        return dense(lp[fused])[lo:hi]
+
     def stack(slot):
         return jnp.stack(
             [
-                jnp.stack([dense(params["layers"][st * lps + i][slot]) for i in range(lps)])
+                jnp.stack([get(params["layers"][st * lps + i], slot) for i in range(lps)])
                 for st in range(s)
             ]
         )  # [S, Lps, N, K]

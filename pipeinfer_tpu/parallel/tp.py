@@ -113,9 +113,9 @@ def _stack_qt_segs(qt: QuantTensor, tp: int, segs) -> QuantTensor:
 
 def _shard_leaf(slot: str, w, tp: int, cfg: ModelConfig | None = None):
     """Returns (stacked_value, is_sharded)."""
-    if slot in _FUSED_QKV:
+    if slot in _FUSED_QKV or slot == "wgu":
         assert cfg is not None
-        segs = _qkv_segs(cfg)
+        segs = (cfg.n_ff, cfg.n_ff) if slot == "wgu" else _qkv_segs(cfg)
         if isinstance(w, QuantTensor):
             if w.layout != "k_major":
                 raise NotImplementedError("TP expects k_major matmul weights")

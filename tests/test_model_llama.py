@@ -237,3 +237,53 @@ def test_device_chained_draft_chain(tiny_model):
         n_past += 4
     got = [int(t) for out in outs for t in np.asarray(out)[:, 0]]
     assert got == want
+
+
+def test_fused_projections_exact(tmp_path):
+    """Load-time wq+wk+wv -> wqkv and gate+up -> wgu fusion is EXACT: the
+    fused-load forward reproduces split-load logits bit-for-bit (same
+    quantized planes, lane-concatenated), on both the llama fast path and
+    the generic trait path (staged stage_forward)."""
+    from pipeinfer_tpu.models import generic as mgeneric
+
+    path = tmp_path / "q.gguf"
+    testmodel.build_tiny_llama(path, seed=11, qtype=GGMLQuantType.Q4_K, **CFG)
+    params, cfg = load_model(path, fuse=False)
+    fused, _ = load_model(path, fuse=True)
+    assert "wqkv" in fused["layers"][0] and "wgu" in fused["layers"][0]
+    assert "wq" not in fused["layers"][0]
+
+    toks = [3, 17, 42, 7]
+    for fwd in (mllama.forward, mgeneric.forward):
+        c1 = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+        c2 = kv.create(cfg.n_layers, 32, cfg.n_kv_heads, cfg.head_dim, jnp.float32)
+        want, _ = _forward_tokens(params, cfg, c1, toks)
+        got, _ = _forward_tokens(fused, cfg, c2, toks) if fwd is mllama.forward else (None, None)
+        if fwd is mgeneric.forward:
+            t = len(toks)
+            want, _ = fwd(params, cfg, c1, jnp.asarray(toks, jnp.int32),
+                          jnp.arange(t, dtype=jnp.int32), jnp.zeros(t, jnp.int32),
+                          jnp.arange(t, dtype=jnp.int32), jnp.ones(t, bool))
+            got, _ = fwd(fused, cfg, c2, jnp.asarray(toks, jnp.int32),
+                         jnp.arange(t, dtype=jnp.int32), jnp.zeros(t, jnp.int32),
+                         jnp.arange(t, dtype=jnp.int32), jnp.ones(t, bool))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_fused_projections_pipefused_defuse(tmp_path):
+    """pipefused.stack_params de-fuses wqkv/wgu transparently."""
+    import jax
+
+    from pipeinfer_tpu.parallel import pipefused as pf
+
+    path = tmp_path / "q2.gguf"
+    cfg4 = dict(CFG, n_layers=2)
+    testmodel.build_tiny_llama(path, seed=11, qtype=GGMLQuantType.Q4_K, **cfg4)
+    split_params, cfg = load_model(path, fuse=False)
+    fused_params, _ = load_model(path, fuse=True)
+    pc = pf.PipeConfig(n_stages=2, tp=1, dp=1)
+    mesh = pf.make_mesh(pc)
+    a = pf.stack_params(split_params, cfg, pc, mesh)
+    b = pf.stack_params(fused_params, cfg, pc, mesh)
+    for k in ("wq", "wk", "wv", "w_gate", "w_up"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
