@@ -323,10 +323,20 @@ class StagedInferenceContext:
             leaves = sorted(jax.tree_util.tree_leaves(x), key=lambda a: a.nbytes)
             np.asarray(leaves[0])
 
-        def step_job(si, b, _topk):
+        hots = [0]
+        h = 512
+        while h < self.trash_cell + 1:
+            hots.append(h)
+            h *= 2
+
+        def step_job(si, b, _topk, hot=0):
+            import dataclasses as _dc
+
             def run():
                 fn = self._stage_fn(si, _topk)
                 cache = jax.tree_util.tree_map(jnp.copy, self.caches[si])
+                if hot and self.meshes[si] is None:
+                    cache = _dc.replace(cache, hot=hot)
                 x = (np.zeros(b, np.int32) if si == 0
                      else np.zeros((b, self.cfg.n_embd), np.float32))
                 if si > 0:
@@ -356,10 +366,11 @@ class StagedInferenceContext:
             return run
 
         jobs = [
-            (f"stage{si}/step[{b},topk={topk if si == len(self.groups) - 1 else None}]",
-             step_job(si, b, topk if si == len(self.groups) - 1 else None))
+            (f"stage{si}/step[{b},topk={topk if si == len(self.groups) - 1 else None},hot={h}]",
+             step_job(si, b, topk if si == len(self.groups) - 1 else None, h))
             for si in range(len(self.groups))
             for b in buckets
+            for h in hots
         ]
         jobs += [
             (f"stage{si}/seqops[{g}]", seq_job(si, g))

@@ -300,11 +300,25 @@ class InferenceContext:
         next process deserializes in seconds.
 
         seq_groups: branch-group sizes (n_parallel values) to warm the
-        fused seq-op programs for (prepare_branch_seqs/consolidate)."""
+        fused seq-op programs for (prepare_branch_seqs/consolidate).
+
+        Every program is warmed for each hot-bucket the pool can reach
+        (hot is STATIC pytree aux — a different hot is a different
+        executable; missing these made the first real prefill pay a
+        multi-second recompile on the remote service)."""
+        import dataclasses as _dc
+
         from ..utils.compile_cache import warm_parallel
 
-        def dummy_cache():
-            return jax.tree_util.tree_map(jnp.copy, self.cache)
+        hots = [0]
+        h = 512
+        while h < self.trash_cell + 1 and self.mesh is None:
+            hots.append(h)
+            h *= 2
+
+        def dummy_cache(hot=0):
+            c = jax.tree_util.tree_map(jnp.copy, self.cache)
+            return _dc.replace(c, hot=hot) if hot else c
 
         def wait(x):
             # under the IFRT proxy, block_until_ready returns at remote
@@ -313,12 +327,12 @@ class InferenceContext:
             leaves = sorted(jax.tree_util.tree_leaves(x), key=lambda a: a.nbytes)
             np.asarray(leaves[0])
 
-        def step_job(b, _topk):
+        def step_job(b, _topk, hot):
             def run():
                 step = self._step_fn(b, _topk)
                 out, c2 = step(
                     self.params,
-                    dummy_cache(),
+                    dummy_cache(hot),
                     np.zeros(b, np.int32),
                     np.zeros(b, np.int32),
                     np.zeros(b, np.int32),
@@ -330,12 +344,12 @@ class InferenceContext:
 
             return run
 
-        def chain_job(d):
+        def chain_job(d, hot):
             def run():
                 fn = self._chain_fn(d, n_cand)
                 out, _rn, c2 = fn(
                     self.params,
-                    dummy_cache(),
+                    dummy_cache(hot),
                     np.int32(0),
                     np.int32(0),
                     np.int32(1),
@@ -345,10 +359,10 @@ class InferenceContext:
 
             return run
 
-        def seq_job(g):
+        def seq_job(g, hot):
             def run():
                 c = _jit_prepare_seqs(
-                    dummy_cache(), np.int32(0), np.arange(1, g + 1, dtype=np.int32), np.int32(1)
+                    dummy_cache(hot), np.int32(0), np.arange(1, g + 1, dtype=np.int32), np.int32(1)
                 )
                 c = _jit_consolidate(
                     c, np.int32(1), np.arange(1, g + 1, dtype=np.int32),
@@ -361,9 +375,14 @@ class InferenceContext:
 
             return run
 
-        jobs = [(f"step[{b},topk={topk}]", step_job(b, topk)) for b in buckets]
-        jobs += [(f"chain[{d}]", chain_job(d)) for d in chain_depths]
-        jobs += [(f"seqops[{g}]", seq_job(g)) for g in seq_groups]
+        jobs = [
+            (f"step[{b},topk={topk},hot={h}]", step_job(b, topk, h))
+            for b in buckets for h in hots
+        ]
+        jobs += [(f"chain[{d},hot={h}]", chain_job(d, h))
+                 for d in chain_depths for h in hots]
+        jobs += [(f"seqops[{g},hot={h}]", seq_job(g, h))
+                 for g in seq_groups for h in hots]
         return warm_parallel(jobs, max_workers=max_workers, log=log)
 
     # -- cell allocation (host) --------------------------------------------
