@@ -92,7 +92,7 @@ def cache_bytes(cache) -> int:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scale", choices=("7b", "toy"), default="7b")
+    ap.add_argument("--scale", choices=("7b", "13b", "toy"), default="7b")
     ap.add_argument("--quick", action="store_true", help="toy scale, fewer tokens")
     ap.add_argument("--n-predict", type=int, default=0)
     ap.add_argument("--eps", type=float, default=0.0,

@@ -435,7 +435,9 @@ class RemoteStagedContext(StagedInferenceContext):
 
         # single-thread sender: fetch order == dispatch order on the wire
         self._send_pool = _cf.ThreadPoolExecutor(max_workers=1)
-        self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=4)
+        # each in-flight run's eager fetch parks a worker on the result
+        # queue until its logits frame lands — size for deep pipelines
+        self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=8)
         self._logits_thread = threading.Thread(target=self._logits_reader, daemon=True)
         self._logits_thread.start()
 

@@ -140,6 +140,13 @@ BENCH_SCALES = {
                     n_ff=11008, n_vocab=32000),
         draft_layers=5,
     ),
+    # llama-2 13B exact shapes (ref: BASELINE.json XWinLM-13B + 7B-class
+    # draft config); draft = lower 12/40 layers ~= the 7B/13B cost ratio
+    "13b": dict(
+        target=dict(n_layers=40, n_embd=5120, n_heads=40, n_kv_heads=40,
+                    n_ff=13824, n_vocab=32000),
+        draft_layers=12,
+    ),
     # ~220M toy (round-1 bench scale; fast CI-able sanity runs)
     "toy": dict(
         target=dict(n_layers=12, n_embd=1024, n_heads=16, n_kv_heads=8,
