@@ -106,6 +106,9 @@ def main():
                     help="prompt tokens (prefill cost / TTFT scale with this)")
     ap.add_argument("--no-degraded", action="store_true",
                     help="skip the degraded-draft (eps=0.02, draft=8) row")
+    ap.add_argument("--streams", type=int, default=0,
+                    help="ALSO measure N concurrent speculative streams "
+                         "(MultiPipeInfer; speculation x continuous batching)")
     ap.add_argument("--tgt-gguf", default=None,
                     help="REAL target checkpoint (e.g. Orca-2-7B Q4_K_M per "
                          "BASELINE.json; convert with pipeinfer-convert). "
@@ -482,6 +485,37 @@ def main():
         log(f"prefill(512) warm: {prefill512_s:.3f}s "
             f"({512 / prefill512_s:.0f} tok/s)")
 
+    # ---- speculation x continuous batching (multi-stream serving) -------
+    multi = None
+    if args.streams > 0:
+        from pipeinfer_tpu.spec.multi import MultiPipeInfer
+
+        ns = args.streams
+        sp_m = SpecParams(n_draft=8, n_parallel=1, p_accept=0.1, p_split=0.9,
+                          max_inflight=2)
+        cells_m = ns * (len(prompt) + n_predict // 2 + 4 * 8 + 32) + 64
+        for trial in range(2):  # trial 0 warms the multi-stream variants
+            eng = MultiPipeInfer(
+                InferenceContext(tparams, tcfg, n_cells=cells_m),
+                InferenceContext(dparams, dcfg, n_cells=cells_m),
+                GREEDY, sp_m, eos_id=-1,
+            )
+            reqs = [
+                eng.submit(prompt_ids=list(prompt), n_predict=n_predict // 2,
+                           ignore_eos=True)
+                for _ in range(ns)
+            ]
+            t0 = time.time()
+            eng.run_until_idle()
+            multi_dt = time.time() - t0
+        n_tok = sum(len(r.tokens) for r in reqs)
+        multi_tps = n_tok / multi_dt
+        log(f"multi-stream ({ns} concurrent speculative requests): "
+            f"{multi_tps:.2f} aggregate tok/s ({n_tok} tokens, "
+            f"{multi_dt:.1f}s)")
+        multi = {"streams": ns, "aggregate_tokens_per_sec": round(multi_tps, 3),
+                 "vs_sequential_single": round(multi_tps / base_tps, 4)}
+
     out = {
         "metric": "pipeinfer_decode_tokens_per_sec",
         "value": round(spec_tps, 3),
@@ -497,6 +531,8 @@ def main():
         out["degraded"] = degraded
     if stochastic:
         out["stochastic"] = stochastic
+    if multi:
+        out["multi_stream"] = multi
     print(json.dumps(out))
 
 

@@ -1126,7 +1126,14 @@ def qmatmul(
         use_pallas = on_tpu and _pallas_supported(qt)
     if use_pallas:
         if qt.layout == "i4g":
-            block_n = 256 if qt.shape[0] % 256 == 0 else 128
+            # measured (v5e): 512-wide N tiles win for wide outputs
+            # (12288: 530 -> 683 GB/s) but lose on deep-K narrow shapes
+            # (11008x4096: 674 -> 567); gate on output width
+            n = qt.shape[0]
+            if n % 512 == 0 and n >= 8192:
+                block_n = 512
+            else:
+                block_n = 256 if n % 256 == 0 else 128
             return _qmm_i4g_pallas(x, qt, block_n=block_n, interpret=interpret)
         if qt.layout == "i8g":
             block_n = 512 if qt.shape[0] % 512 == 0 else (
