@@ -132,6 +132,7 @@ class StageWorker:
         self.stage = stage
         self.n_stages = n_stages
         self.last = stage == n_stages - 1
+        n_cells = kv.round_pool(n_cells)  # must match the head's rounding
         params, cfg = load_model(model_path)
         self.cfg = cfg
         split = list(split) if split else [1.0 / n_stages] * n_stages
@@ -375,6 +376,7 @@ class RemoteStagedContext(StagedInferenceContext):
         # local stage 0 (reuse the staged machinery with a single group,
         # but force first=True/last=False slicing)
         self.cfg = cfg
+        n_cells = kv.round_pool(n_cells)
         self.n_cells = n_cells
         self.tp = 1
         dev = jax.devices()[0]

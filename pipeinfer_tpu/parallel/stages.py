@@ -70,6 +70,7 @@ class StagedInferenceContext:
         WITHIN each pipeline stage — SURVEY §2.3 TP row; llama-family
         split-qkv weights only when tp > 1)."""
         self.cfg = cfg
+        n_cells = kv.round_pool(n_cells)
         self.n_cells = n_cells
         devices = list(devices) if devices else [jax.devices()[0]]
         self.tp = tp

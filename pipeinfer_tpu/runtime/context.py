@@ -177,6 +177,7 @@ class InferenceContext:
         from ..models.loader import forward_for_arch
 
         self.cfg = cfg
+        n_cells = kv.round_pool(n_cells)
         self.n_cells = n_cells
         self.mesh = mesh
         self._forward = forward_fn or forward_for_arch(cfg.arch)

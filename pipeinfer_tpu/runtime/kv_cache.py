@@ -363,11 +363,25 @@ def attention(
 
 
 # cells at/above this use the Pallas flash kernel (in-kernel tree masks,
-# no [T, C] score materialization); below it the dense fused path wins on
-# dispatch overhead. Override via PIPEINFER_FLASH_MIN_CELLS.
+# no [T, C] score materialization). The dense path's cache.k[layer] slice
+# MATERIALIZES a per-layer K and V slab copy (profiled: 2x ~46 us/layer at
+# a 1024-cell 7B pool = ~2.9 ms/token — it was the dominant "glue" cost of
+# sequential decode; dropping the threshold 8192 -> 512 took the 7B chain
+# from 99 to 171 tok/s). 512 is the kernel's minimum block anyway.
+# Override via PIPEINFER_FLASH_MIN_CELLS.
 import os as _os
 
-FLASH_MIN_CELLS = int(_os.environ.get("PIPEINFER_FLASH_MIN_CELLS", 8192))
+FLASH_MIN_CELLS = int(_os.environ.get("PIPEINFER_FLASH_MIN_CELLS", 512))
+
+
+def round_pool(n_cells: int) -> int:
+    """Round a cell-pool size up to the flash-dispatch granularity (the
+    kernel requires C % 512 == 0; pools that miss it silently fall back to
+    the dense slab-copy path). Every context and stage worker MUST use the
+    same rounding — cell indices are shared across stages/processes."""
+    if n_cells <= 512:
+        return n_cells
+    return -(-n_cells // 512) * 512
 
 
 def attend(
