@@ -362,16 +362,22 @@ def attention(
     return out.reshape(t, h, d)
 
 
-# cells at/above this use the Pallas flash kernel (in-kernel tree masks,
-# no [T, C] score materialization). The dense path's cache.k[layer] slice
-# MATERIALIZES a per-layer K and V slab copy (profiled: 2x ~46 us/layer at
-# a 1024-cell 7B pool = ~2.9 ms/token — it was the dominant "glue" cost of
-# sequential decode; dropping the threshold 8192 -> 512 took the 7B chain
-# from 99 to 171 tok/s). 512 is the kernel's minimum block anyway.
-# Override via PIPEINFER_FLASH_MIN_CELLS.
+# Flash-vs-dense dispatch (measured on v5e at 7B shapes, 1024-cell pool):
+# - The dense path's cache.k[layer] slice MATERIALIZES per-layer K and V
+#   slab copies (2 x ~46 us/layer = ~2.9 ms/token at T=1 — it was the
+#   dominant "glue" cost of sequential decode; flash took the 7B chain
+#   from 99 to 171 tok/s). Flash reads the 4-D cache in place.
+# - At verify batches (T=32) the slab copies amortize over the batch and
+#   the dense MXU einsum wins: flash-for-all-T collapsed the speculative
+#   step (382 -> 235 tok/s). So small pools use flash only for small T;
+#   big pools (>= FLASH_MIN_CELLS_BIG, where slab copies are huge) use
+#   flash for every T, as before.
+# Overrides: PIPEINFER_FLASH_MIN_CELLS / _FLASH_MAX_T / _FLASH_BIG.
 import os as _os
 
 FLASH_MIN_CELLS = int(_os.environ.get("PIPEINFER_FLASH_MIN_CELLS", 512))
+FLASH_SMALL_T = int(_os.environ.get("PIPEINFER_FLASH_MAX_T", 4))
+FLASH_MIN_CELLS_BIG = int(_os.environ.get("PIPEINFER_FLASH_BIG", 8192))
 
 
 def round_pool(n_cells: int) -> int:
@@ -410,6 +416,7 @@ def attend(
         and c % 512 == 0
         and isinstance(layer, int)
         and jax.default_backend() == "tpu"
+        and (q.shape[0] <= FLASH_SMALL_T or c >= FLASH_MIN_CELLS_BIG)
     ):
         from ..ops.cell_attention import cell_attention
 
