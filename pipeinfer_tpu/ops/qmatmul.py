@@ -854,7 +854,7 @@ def _i4g_kernel(slabs_per_step: int):
     return kernel
 
 
-def _i4g_unpack_interpret(w_ref_vals, rows):
+def _i4g_unpack_interpret(w_ref_vals):
     """Interpreter-mode stand-in for the lane bitcast (pltpu.bitcast width
     changes are hardware-only): plain nibble split on the u8 tile."""
     v = w_ref_vals.astype(jnp.int32)
@@ -874,7 +874,7 @@ def _i4g_kernel_interpret(slabs_per_step: int):
             pr = s * (I4G_SLAB // 2)
             xa = s * I4G_SLAB
             sr = (j * slabs_per_step + s) * 2
-            lo, hi = _i4g_unpack_interpret(w_ref[pl.ds(pr, I4G_SLAB // 2), :], I4G_SLAB // 2)
+            lo, hi = _i4g_unpack_interpret(w_ref[pl.ds(pr, I4G_SLAB // 2), :])
             p_lo = jax.lax.dot(xq_ref[:, pl.ds(xa, I4G_SLAB // 2)].astype(jnp.int32),
                                lo.astype(jnp.int32),
                                preferred_element_type=jnp.int32)

@@ -30,7 +30,7 @@ _PRIMITIVES = {
     "string": '"\\"" ([^"\\\\] | "\\\\" (["\\\\/bfnrt] | "u" [0-9a-fA-F] [0-9a-fA-F] [0-9a-fA-F] [0-9a-fA-F]))* "\\"" space',
 }
 
-_NAME_OK = re.compile(r"[^a-zA-Z0-9-]+")
+_NAME_BAD = re.compile(r"[^a-zA-Z0-9-]+")  # chars not allowed in rule names
 
 
 def _literal(value) -> str:
@@ -51,7 +51,7 @@ class SchemaToGBNF:
     # -- rule table ----------------------------------------------------------
 
     def _put(self, name: str, body: str) -> str:
-        key = _NAME_OK.sub("-", name) or "rule"
+        key = _NAME_BAD.sub("-", name) or "rule"
         if key in self.rules and self.rules[key] != body:
             n = 0
             while f"{key}{n}" in self.rules and self.rules[f"{key}{n}"] != body:
