@@ -32,16 +32,12 @@ def build_context(model_path: str, n_cells: int, cache_dtype: str = "bf16",
     # LoRA deltas target the SPLIT projection slots: apply before fusing
     params, cfg = load_model(model_path, fuse=False if lora else None)
     if lora:
-        from ..models.loader import fuse_projections
+        from ..models.loader import default_fuse, fuse_projections
         from ..tools.lora import apply_lora
 
         for adapter_path, scale in lora:
             params = apply_lora(params, adapter_path, scale)
-        import jax as _jax
-        import os as _os
-
-        if (_jax.default_backend() == "tpu"
-                and _os.environ.get("PIPEINFER_FUSE_PROJ", "1") != "0"):
+        if default_fuse():
             fuse_projections(params)
     tok = None
     with GGUFReader(model_path) as r:

@@ -171,10 +171,12 @@ def _ffn(x, lp, cfg: ModelConfig, tp_axis: str | None = None):
     relu-squared (persimmon LLM_FFN_RELU_SQR). Under TP, gate/up/down are
     all output-sharded: the ffn intermediate is gathered before w_down and
     the result gathered after (see layer_step docstring)."""
-    if "wgu" in lp:  # load-time fused gate+up (one kernel call); n_ff is
-        #              shard-local under TP (wgu shards per segment)
+    if "wgu" in lp:  # load-time fused gate+up (one kernel call); split at
+        #              the ACTUAL half-width — under TP the shard-local
+        #              wgu is 2*n_ff/tp wide while cfg.n_ff stays global
         gu = linear(x, lp["wgu"])
-        mid = L.silu(gu[:, : cfg.n_ff]) * gu[:, cfg.n_ff:]
+        half = gu.shape[1] // 2
+        mid = L.silu(gu[:, :half]) * gu[:, half:]
     else:
         up = linear(x, lp["w_up"], lp.get("b_up"))
         if "w_gate" in lp:

@@ -99,8 +99,9 @@ def forward(
         f = L.rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         if "wgu" in lp:
             gu = linear(f, lp["wgu"])
-            gate = L.silu(gu[:, : cfg.n_ff])
-            up = gu[:, cfg.n_ff:]
+            half = gu.shape[1] // 2  # robust to shard-local widths
+            gate = L.silu(gu[:, :half])
+            up = gu[:, half:]
         else:
             gate = L.silu(linear(f, lp["w_gate"]))
             up = linear(f, lp["w_up"])

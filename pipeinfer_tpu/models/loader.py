@@ -168,17 +168,24 @@ def load_model(path: str | Path, *, max_workers: int = 4,
                 params[key] = arr
     r.close()
     if fuse is None:
-        import os
-
-        import jax
-
-        fuse = (
-            jax.default_backend() == "tpu"
-            and os.environ.get("PIPEINFER_FUSE_PROJ", "1") != "0"
-        )
+        fuse = default_fuse()
     if fuse:
         fuse_projections(params)
     return params, cfg
+
+
+def default_fuse() -> bool:
+    """Whether to fuse same-input projections by default: on for TPU
+    (PIPEINFER_FUSE_PROJ=0 disables). The single definition of the gate —
+    load_model and the CLI's apply-LoRA-then-fuse path share it."""
+    import os
+
+    import jax
+
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("PIPEINFER_FUSE_PROJ", "1") != "0"
+    )
 
 
 def fuse_projections(params: dict[str, Any]) -> None:

@@ -215,7 +215,11 @@ class StageWorker:
         ameta, ablob = item
         assert ameta["run"] == rid, (ameta, rid)
         with self._cancel_lock:
+            # run ids are monotonic and never reused: prune every mark at
+            # or below the run being processed (incl. late-arriving cancels
+            # for already-computed runs) so the set stays bounded
             dead = ameta.get("dead", False) or rid in self.canceled
+            self.canceled = {c for c in self.canceled if c > rid}
         if dead:
             # stay in protocol sync without computing (the reference's
             # canceled-batch skip, llama.cpp:5627-5628)
@@ -558,16 +562,7 @@ class RemoteStagedContext(StagedInferenceContext):
             send_msg(c, {"runs": [rid]})
 
     def _refresh_hot_remote(self):
-        n = self.trash_cell + 1
-        if n <= 512:
-            return
-        used = np.nonzero(self.h_pos[: self.trash_cell] >= 0)[0]
-        hw = int(used[-1]) + 1 if len(used) else 1
-        b = 512
-        while b < hw:
-            b *= 2
-        b = min(b, n)
-        hot = 0 if b >= n else b
+        hot = kv.hot_bucket(self.h_pos, self.trash_cell)
         if hot != self._hot:
             self._hot = hot
             import dataclasses as _dc

@@ -206,23 +206,13 @@ class StagedInferenceContext:
         )
 
     def _refresh_hot(self):
-        """Hot-cell bounding for staged caches: stamp the bucketized
-        occupancy high-water mark on every non-TP stage cache so attention
-        streams only the occupied prefix (same policy as
-        InferenceContext._refresh_hot; TP caches stay hot=0 because their
+        """Hot-cell bounding for staged caches: stamp the shared bucket
+        (kv.hot_bucket) on every non-TP stage cache so attention streams
+        only the occupied prefix (TP caches stay hot=0 because their
         shard_map in_specs are built from cache_spec())."""
         import dataclasses as _dc
 
-        n = self.trash_cell + 1
-        if n <= 512:
-            return
-        used = np.nonzero(self.h_pos[: self.trash_cell] >= 0)[0]
-        hw = int(used[-1]) + 1 if len(used) else 1
-        b = 512
-        while b < hw:
-            b *= 2
-        b = min(b, n)
-        hot = 0 if b >= n else b
+        hot = kv.hot_bucket(self.h_pos, self.trash_cell)
         for i in range(len(self.caches)):
             if self.meshes[i] is None and self.caches[i].hot != hot:
                 self.caches[i] = _dc.replace(self.caches[i], hot=hot)

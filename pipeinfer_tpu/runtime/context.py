@@ -398,21 +398,13 @@ class InferenceContext:
     def _refresh_hot(self):
         """Stamp the cache's static high-water mark from the host mirror so
         attention streams only the occupied prefix of the cell pool (the
-        first-fit allocator keeps occupancy prefix-dense). Bucketized to
-        powers of two (min 512) so the jit-variant count stays logarithmic;
-        pools ≤512 cells skip the machinery entirely. TP contexts keep
+        first-fit allocator keeps occupancy prefix-dense; see
+        kv.hot_bucket for the shared bucket ladder). TP contexts keep
         hot=0: their shard_map in_specs are built from cache_spec(), whose
         pytree aux must match the runtime cache's."""
-        n = self.trash_cell + 1
-        if n <= 512 or self.mesh is not None:
+        if self.mesh is not None:
             return
-        used = np.nonzero(self.h_pos[: self.trash_cell] >= 0)[0]
-        hw = int(used[-1]) + 1 if len(used) else 1
-        b = 512
-        while b < hw:
-            b *= 2
-        b = min(b, n)
-        hot = 0 if b >= n else b
+        hot = kv.hot_bucket(self.h_pos, self.trash_cell)
         if hot != self.cache.hot:
             self.cache = dataclasses.replace(self.cache, hot=hot)
 

@@ -380,6 +380,26 @@ FLASH_SMALL_T = int(_os.environ.get("PIPEINFER_FLASH_MAX_T", 4))
 FLASH_MIN_CELLS_BIG = int(_os.environ.get("PIPEINFER_FLASH_BIG", 8192))
 
 
+def hot_bucket(h_pos, trash_cell: int) -> int:
+    """Bucketized occupancy high-water mark for a host pos mirror: the
+    power-of-two (min 512) covering the highest occupied cell, or 0 for
+    "stream the whole pool". ONE definition — the precompile hot ladders
+    and every context's _refresh_hot must agree, or warm-compiled hot
+    variants miss the runtime values and the first prefill recompiles."""
+    import numpy as np
+
+    n = trash_cell + 1
+    if n <= 512:
+        return 0
+    used = np.nonzero(h_pos[:trash_cell] >= 0)[0]
+    hw = int(used[-1]) + 1 if len(used) else 1
+    b = 512
+    while b < hw:
+        b *= 2
+    b = min(b, n)
+    return 0 if b >= n else b
+
+
 def round_pool(n_cells: int) -> int:
     """Round a cell-pool size up to the flash-dispatch granularity (the
     kernel requires C % 512 == 0; pools that miss it silently fall back to

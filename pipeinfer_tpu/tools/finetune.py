@@ -180,7 +180,7 @@ def main(argv=None):
         model_path = tmp
     else:
         model_path = args.model
-    params, cfg = load_model(model_path)
+    params, cfg = load_model(model_path, fuse=False)  # training reads split slots
     with GGUFReader(model_path) as r:
         tok = tokenizer_from_gguf(r)
 

@@ -47,6 +47,7 @@ class SchemaToGBNF:
         self.rules: dict[str, str] = {"space": _SPACE}
         self.prop_order = {k: i for i, k in enumerate(prop_order or [])}
         self.root_schema = root_schema
+        self._ref_rule: dict[str, str] = {}  # $ref path -> rule name
 
     # -- rule table ----------------------------------------------------------
 
@@ -90,8 +91,21 @@ class SchemaToGBNF:
 
     def convert(self, schema: dict, name: str = "root") -> str:
         if "$ref" in schema:
-            target, ref_name = self._resolve_ref(schema["$ref"])
-            return self.convert(target, ref_name)
+            ref = schema["$ref"]
+            # memoize per $ref path so recursive schemas (linked lists,
+            # trees — the primary $defs use case) emit ONE named rule that
+            # references itself instead of inlining forever
+            if ref in self._ref_rule:
+                return self._ref_rule[ref]
+            target, ref_name = self._resolve_ref(ref)
+            key = _NAME_BAD.sub("-", ref_name) or "ref"
+            while key in self.rules:
+                key += "-r"
+            self._ref_rule[ref] = key
+            real = self.convert(target, key)
+            if real != key:
+                self.rules[key] = real  # alias (target was a primitive)
+            return key
 
         for combo in ("oneOf", "anyOf"):
             if combo in schema:
@@ -122,19 +136,31 @@ class SchemaToGBNF:
                 sub_name = self.convert(sub, f"{name}-{key}")
                 return f'{_literal(key)} space ":" space {sub_name}'
 
-            body = '"{" space'
-            for i, (k, v) in enumerate(req):
-                if i > 0:
-                    body += ' "," space'
-                body += " " + kv_rule(k, v)
-            # optional properties trail the required ones, in order, each
-            # individually omittable (closes the reference's `required` TODO;
-            # a fixed order keeps the grammar linear-size)
-            for k, v in opt:
-                sep = '"," space ' if req else ""
-                body += f" ({sep}{kv_rule(k, v)})?"
-                req = req or [(k, v)]  # later optionals need the comma
-            body += ' "}" space'
+            opt_kv = [kv_rule(k, v) for k, v in opt]
+            # optional properties trail the required ones in a fixed order
+            # (closes the reference's `required` TODO with a linear-size
+            # grammar). With required props, each optional is independently
+            # comma-prefixed. With NO required props, the first emitted
+            # optional must NOT carry a comma: build the right-nested
+            # "one of the optionals goes first" chain
+            #   (kv_i tail_{i+1} | kv_{i+1} tail_{i+2} | ...)?
+            #   tail_j = ("," space kv_j)? tail_{j+1}
+            if req:
+                body = '"{" space'
+                for i, (k, v) in enumerate(req):
+                    if i > 0:
+                        body += ' "," space'
+                    body += " " + kv_rule(k, v)
+                for kv in opt_kv:
+                    body += f' ("," space {kv})?'
+                body += ' "}" space'
+            else:
+                tails = [""] * (len(opt_kv) + 1)
+                for j in range(len(opt_kv) - 1, -1, -1):
+                    tails[j] = f' ("," space {opt_kv[j]})?{tails[j + 1]}'
+                alts = [f"{kv}{tails[i + 1]}" for i, kv in enumerate(opt_kv)]
+                interior = f" ({' | '.join(alts)})?" if alts else ""
+                body = f'"{{" space{interior} "}}" space'
             return self._put(name, body)
 
         if stype == "array":

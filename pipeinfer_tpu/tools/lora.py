@@ -206,7 +206,7 @@ def main(argv=None):
     from ..tokenizer import tokenizer_from_gguf
     from .finetune import dense_params
 
-    params, cfg = load_model(args.model)
+    params, cfg = load_model(args.model, fuse=False)  # LoRA targets split slots
     with GGUFReader(args.model) as r:
         tok = tokenizer_from_gguf(r)
     stream = np.asarray(tok.encode(open(args.file).read(), add_bos=True), np.int32)

@@ -71,7 +71,9 @@ case "$CMD" in
   all)
     do_quantize
     sweep perf pipeinfer-bench -m MODELFILE -pp 512 -tg 64 $EXTRA
-    [ -n "$CORPUS" ] && sweep ppl pipeinfer-perplexity -m MODELFILE -f "$CORPUS" -c 512 $EXTRA ;;
+    if [ -n "$CORPUS" ]; then
+      sweep ppl pipeinfer-perplexity -m MODELFILE -f "$CORPUS" -c 512 $EXTRA
+    fi ;;
   *) usage ;;
 esac
 echo "sweep results in $OUTDIR"

@@ -90,6 +90,45 @@ def test_min_items():
     assert not _accepts(g, "[ 1 ]")
 
 
+def test_all_optional_object():
+    """Zero required properties: any SUBSET must be expressible with
+    correct commas (regression: the first emitted optional carried a
+    leading comma, accepting '{ , \"b\": 1 }' and rejecting '{ \"b\": 1 }')."""
+    schema = {
+        "type": "object",
+        "properties": {"a": {"type": "integer"}, "b": {"type": "integer"},
+                       "c": {"type": "integer"}},
+        "required": [],
+    }
+    g = schema_to_gbnf(schema)
+    for ok in ("{ }", '{ "a" : 1 }', '{ "b" : 2 }', '{ "c" : 3 }',
+               '{ "a" : 1 , "c" : 3 }', '{ "b" : 2 , "c" : 3 }',
+               '{ "a" : 1 , "b" : 2 , "c" : 3 }'):
+        assert _accepts(g, ok), ok
+    for bad in ('{ , "b" : 2 }', '{ "a" : 1 , }', '{ "c" : 3 , "a" : 1 }'):
+        assert not _accepts(g, bad), bad
+
+
+def test_recursive_ref():
+    """Recursive $defs (linked list) must emit a self-referencing rule
+    instead of inlining forever (regression: RecursionError)."""
+    schema = {
+        "$defs": {
+            "node": {
+                "type": "object",
+                "properties": {"v": {"type": "integer"},
+                               "next": {"$ref": "#/$defs/node"}},
+                "required": ["v"],
+            }
+        },
+        "$ref": "#/$defs/node",
+    }
+    g = schema_to_gbnf(schema)
+    assert _accepts(g, '{ "v" : 1 }')
+    assert _accepts(g, '{ "v" : 1 , "next" : { "v" : 2 , "next" : { "v" : 3 } } }')
+    assert not _accepts(g, '{ "next" : { "v" : 2 } }')  # missing required v
+
+
 def test_unconstrained_schema_any_value():
     g = schema_to_gbnf({})
     for text in ('{ "k" : [ 1 , true , null ] }', '"s"', "3.5", "[ ]"):

@@ -270,6 +270,38 @@ def test_fused_projections_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_projections_under_tp(tmp_path):
+    """Fused wqkv/wgu + 2-way TP: segment sharding makes the shard-local
+    fused tensors HALF width, so the forward must split them by actual
+    shape, not global cfg dims (regression: gu[:, n_ff:] was empty under
+    TP and the decode crashed)."""
+    import jax
+
+    from pipeinfer_tpu.parallel.tp import tp_mesh
+    from pipeinfer_tpu.runtime.context import Batch, InferenceContext
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    path = tmp_path / "ftp.gguf"
+    # TP shards every output dim: use tp-divisible vocab
+    testmodel.build_tiny_llama(path, seed=11, **dict(CFG, n_vocab=160))
+    params, cfg = load_model(path, fuse=False)
+    fused, _ = load_model(path, fuse=True)
+    assert "wgu" in fused["layers"][0]
+
+    def run(p, mesh):
+        ctx = InferenceContext(p, cfg, n_cells=64, cache_dtype=jnp.float32,
+                               mesh=mesh)
+        b = Batch()
+        for i, t in enumerate([3, 17, 42]):
+            b.add(t, i, 0, want_logits=True)
+        return np.asarray(ctx.decode(b))
+
+    want = run(params, None)
+    got = run(fused, tp_mesh(jax.devices()[:2]))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
 def test_fused_projections_pipefused_defuse(tmp_path):
     """pipefused.stack_params de-fuses wqkv/wgu transparently."""
     import jax
