@@ -96,7 +96,12 @@ def _unpack_arrays(meta: dict, blob: bytes) -> dict[str, np.ndarray]:
     return out
 
 
-def _connect_retry(addr: tuple[str, int], role: str, timeout: float = 60.0) -> socket.socket:
+def _connect_retry(addr: tuple[str, int], role: str,
+                   timeout: float = 900.0) -> socket.socket:
+    """Retry until the peer binds its listen socket. The deadline must
+    cover the peer's FULL startup — model load + device upload + (cold)
+    backend init can take minutes for 7B+ models — hence the generous
+    default; override via the callers' connect_timeout."""
     deadline = time.monotonic() + timeout
     while True:
         try:
@@ -137,6 +142,7 @@ class StageWorker:
         self.cfg = cfg
         split = list(split) if split else [1.0 / n_stages] * n_stages
         lo, hi = split_ranges(cfg.n_layers, split)[stage]
+        self.layer_range = (lo, hi)
         sp = {"layers": params["layers"][lo:hi]}
         if self.last:
             for key in StagedInferenceContext.LAST_STAGE_GLOBALS:
@@ -294,7 +300,14 @@ class StageWorker:
         threading.Thread(target=self._cancel_reader, args=(cancel,), daemon=True).start()
         sender = threading.Thread(target=self._sender, args=(out_sock,), daemon=True)
         sender.start()
-        send_msg(ctrl, {"t": "ready", "stage": self.stage})
+        # config fingerprint: the head validates that cell indexing and
+        # layer ranges agree before any decode (a silent mismatch would
+        # corrupt shared cell indices across stages)
+        send_msg(ctrl, {
+            "t": "ready", "stage": self.stage, "n_stages": self.n_stages,
+            "n_cells": self.n_cells, "layers": list(self.layer_range),
+            "n_embd": self.cfg.n_embd, "n_layers_total": self.cfg.n_layers,
+        })
         try:
             while True:
                 meta, payload = recv_msg(ctrl)
@@ -370,10 +383,16 @@ class RemoteStagedContext(StagedInferenceContext):
 
     def __init__(self, params, cfg, *, workers: Sequence[tuple[str, int]],
                  split: Sequence[float] | None = None, n_cells: int = 1024,
-                 cache_dtype=None, head_port: int = 0):
+                 cache_dtype=None, head_port: int = 0,
+                 connect_timeout: float = 900.0):
         import jax
         import jax.numpy as jnp
 
+        if not workers:
+            raise ValueError(
+                "RemoteStagedContext needs >= 1 stage worker; for a "
+                "single-process pipeline use StagedInferenceContext"
+            )
         n_stages = len(workers) + 1
         split = list(split) if split else [1.0 / n_stages] * n_stages
         assert len(split) == n_stages
@@ -399,13 +418,7 @@ class RemoteStagedContext(StagedInferenceContext):
         self.caches = [jax.device_put(
             kv.create(hi - lo, n_cells, cfg.n_kv_heads, cfg.head_dim,
                       cache_dtype or jnp.bfloat16), dev)]
-        self.h_pos = np.full(n_cells, -1, np.int64)
-        self.h_seq = np.zeros(n_cells, np.uint64)
-        self.trash_cell = n_cells - 1
-        self.t_eval = 0.0
-        self.n_eval = 0
-        self.t_prefill = 0.0
-        self.n_prefill = 0
+        self._init_host_state(n_cells)
 
         # listen for the last worker's logits stream
         self._lsock = socket.socket()
@@ -417,21 +430,35 @@ class RemoteStagedContext(StagedInferenceContext):
         self._ctrl: list[socket.socket] = []
         self._cancel: list[socket.socket] = []
         for host, port in workers:
-            self._ctrl.append(_connect_retry((host, port), "ctrl"))
-            self._cancel.append(_connect_retry((host, port), "cancel"))
+            self._ctrl.append(_connect_retry((host, port), "ctrl", connect_timeout))
+            self._cancel.append(_connect_retry((host, port), "cancel", connect_timeout))
         # data stream to worker 1 (stage-0 activations out)
         w0 = workers[0]
-        self._data_out = _connect_retry((w0[0], w0[1]), "data")
+        self._data_out = _connect_retry((w0[0], w0[1]), "data", connect_timeout)
         # accept the logits connection from the LAST worker
-        self._lsock.settimeout(120.0)
+        self._lsock.settimeout(connect_timeout)
         self._logits_sock, _ = self._lsock.accept()
         self._lsock.settimeout(None)
         self._logits_sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         hello, _ = recv_msg(self._logits_sock)
         assert hello["role"] == "logits", hello
-        for c in self._ctrl:
+        for wi, c in enumerate(self._ctrl):
             meta, _ = recv_msg(c)
             assert meta["t"] == "ready", meta
+            # validate the shared-indexing config fingerprint: silently
+            # mismatched pools/splits would corrupt cell indices
+            want = {
+                "stage": wi + 1, "n_stages": n_stages, "n_cells": n_cells,
+                "layers": list(self.ranges[wi + 1]),
+                "n_embd": cfg.n_embd, "n_layers_total": cfg.n_layers,
+            }
+            got = {k: meta.get(k) for k in want}
+            if got != want:
+                raise RuntimeError(
+                    f"stage worker {wi + 1} config mismatch: head expects "
+                    f"{want}, worker reports {got} — start workers with the "
+                    "same --model/--split/--n-cells/--n-stages"
+                )
 
         self._next_run = 0
         self._pending: dict[int, "queue.Queue"] = {}
@@ -448,6 +475,12 @@ class RemoteStagedContext(StagedInferenceContext):
         self._logits_thread.start()
 
     # -- plumbing ------------------------------------------------------------
+
+    def _stage_fn(self, si: int, topk):
+        # the head's local slab is first=True, last=False, NO topk (logits
+        # come back from the LAST worker) — overriding keeps the inherited
+        # precompile warming the variant decode_async actually runs
+        return _staged_step(self.cfg, True, False, None)
 
     def _logits_reader(self):
         try:
@@ -573,11 +606,11 @@ class RemoteStagedContext(StagedInferenceContext):
     # -- seq ops: local stage 0 + remote fan-out -----------------------------
 
     def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1):
-        self._kv_all("seq_rm", seq_id=seq_id, p0=p0, p1=p1)
+        self._kv_all("seq_rm", seq_id=int(seq_id), p0=int(p0), p1=int(p1))
         super().seq_rm(seq_id, p0, p1)
 
     def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1):
-        self._kv_all("seq_cp", src=src, dst=dst, p0=p0, p1=p1)
+        self._kv_all("seq_cp", src=int(src), dst=int(dst), p0=int(p0), p1=int(p1))
         super().seq_cp(src, dst, p0, p1)
 
     def prepare_branch_seqs(self, seqs: list[int], src: int, p1: int):
@@ -624,10 +657,14 @@ class RemoteStagedContext(StagedInferenceContext):
 
     def ping(self, timeout: float = 30.0):
         """Round-trip a control frame through every worker (startup/liveness
-        barrier)."""
+        barrier); raises socket.timeout if a worker wedges."""
         for c in self._ctrl:
             send_msg(c, {"t": "ping"})
-            meta, _ = recv_msg(c)
+            c.settimeout(timeout)
+            try:
+                meta, _ = recv_msg(c)
+            finally:
+                c.settimeout(None)
             assert meta["t"] == "pong", meta
 
     def shutdown(self):

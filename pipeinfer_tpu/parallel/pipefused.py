@@ -79,13 +79,32 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
     from ..ops.qmatmul import QuantTensor, dequant
 
     s, lps = pc.n_stages, cfg.n_layers // pc.n_stages
-    assert lps * s == cfg.n_layers, "n_layers must divide n_stages"
+    assert lps * s == cfg.n_layers, (
+        f"n_stages ({s}) must divide n_layers ({cfg.n_layers})"
+    )
     assert cfg.n_heads % pc.tp == 0 and cfg.n_kv_heads % pc.tp == 0 and cfg.n_ff % pc.tp == 0
+
+    # this fused path implements the llama-family layer body only; refuse
+    # models whose features it would silently drop (the staged/dcn paths
+    # run every architecture through models.generic)
+    unsupported = {"bq", "bk", "bv", "bo", "b_gate", "b_up", "b_down",
+                   "bqkv", "attn_norm_2", "attn_norm_b", "q_norm"}
+    present = unsupported & set(params["layers"][0])
+    if present or cfg.max_alibi_bias > 0 or cfg.tok_norm or cfg.pos_embd \
+            or cfg.yarn_ext_factor != 0.0:
+        raise NotImplementedError(
+            f"pipefused supports the llama-family body only (found "
+            f"{sorted(present) or 'non-llama config features'}); use "
+            "parallel.stages / parallel.dcn for this architecture"
+        )
 
     def dense(w, dtype=jnp.bfloat16):
         if isinstance(w, QuantTensor):
             return dequant(w, dtype)
         return jnp.asarray(w, dtype)
+
+    def dense32(w):  # norm weights keep load precision (like output_norm)
+        return jnp.asarray(w, jnp.float32)
 
     kv_dim = cfg.n_kv_heads * cfg.head_dim
     n_q = cfg.n_heads * cfg.head_dim
@@ -96,16 +115,18 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
         "w_gate": ("wgu", 0, cfg.n_ff), "w_up": ("wgu", cfg.n_ff, 2 * cfg.n_ff),
     }
 
-    def get(lp, slot):
-        if slot in lp:
-            return dense(lp[slot])
-        fused, lo, hi = _SEGS[slot]
-        return dense(lp[fused])[lo:hi]
+    def stack(slot, norm=False):
+        conv = dense32 if norm else dense
 
-    def stack(slot):
+        def g(lp):
+            if slot in lp or norm:
+                return conv(lp[slot])
+            fused, lo, hi = _SEGS[slot]
+            return dense(lp[fused])[lo:hi]
+
         return jnp.stack(
             [
-                jnp.stack([get(params["layers"][st * lps + i], slot) for i in range(lps)])
+                jnp.stack([g(params["layers"][st * lps + i]) for i in range(lps)])
                 for st in range(s)
             ]
         )  # [S, Lps, N, K]
@@ -123,8 +144,8 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
         # row-parallel: input dim sharded over 'model' (psum after)
         "wo": put(stack("wo"), P("stage", None, None, "model")),
         "w_down": put(stack("w_down"), P("stage", None, None, "model")),
-        "attn_norm": put(stack("attn_norm"), P("stage", None, None)),
-        "ffn_norm": put(stack("ffn_norm"), P("stage", None, None)),
+        "attn_norm": put(stack("attn_norm", norm=True), P("stage", None, None)),
+        "ffn_norm": put(stack("ffn_norm", norm=True), P("stage", None, None)),
         # embedding on stage 0, head on last stage — replicated for simplicity
         "tok_embd": put(dense(params["tok_embd"]), P(None, None)),
         "output_norm": put(jnp.asarray(params["output_norm"], jnp.float32), P(None)),
@@ -260,7 +281,7 @@ def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
             n_stages = jax.lax.axis_size("stage")
             b_l, t = tokens.shape
             assert b_l % M == 0, (
-                f"per-dp-shard batch {b_l} must divide n_microbatches={M}"
+                f"n_microbatches={M} must divide the per-dp-shard batch {b_l}"
             )
             bm = b_l // M
 

@@ -116,6 +116,11 @@ class StagedInferenceContext:
             else:
                 self.caches.append(jax.device_put(c, g[0]))
 
+        self._init_host_state(n_cells)
+
+    def _init_host_state(self, n_cells: int):
+        """Host allocation mirrors + timing counters — the invariants every
+        seq op and find_cells reads (shared with RemoteStagedContext)."""
         self.h_pos = np.full(n_cells, -1, np.int64)
         self.h_seq = np.zeros(n_cells, np.uint64)
         self.trash_cell = n_cells - 1
