@@ -658,7 +658,7 @@ def _qmm_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256, interpret: bo
     return out[:m]
 
 
-def _i8_kernel(group: int, ku: int):
+def _i8_kernel(group: int):
     """Scales expand via the MXU 0/1 matmul (sublane broadcast+reshape is a
     Mosaic relayout — measured ~50 ms/tensor at 7B ffn shapes); the
     per-group bias term sum_k x_k*b_k = dot(xg, b) is computed OUTSIDE the
@@ -679,7 +679,7 @@ def _i8_kernel(group: int, ku: int):
     return kernel
 
 
-def _k4_kernel(ku: int):
+def _k4_kernel():
     """4-bit planar kernel: one packed byte tile feeds TWO MXU dots (lo and
     hi nibble planes) — the dot's K-sum is order-free, so the planes never
     need to be interleaved back to natural K order (the relayout that made
@@ -750,7 +750,7 @@ def _qmm_k4_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256,
     sspec = pl.BlockSpec((ku, block_n), lambda i, j: (j, i))
 
     out = pl.pallas_call(
-        _k4_kernel(ku),
+        _k4_kernel(),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         grid=grid,
         in_specs=[xspec, xspec, espec, wspec, sspec, sspec],
@@ -779,42 +779,6 @@ def _largest_divisor(n: int, cap: int) -> int:
         if n % d == 0:
             return d
     return 1
-
-
-def _i8g_quantize_x(x: jax.Array, kp: int):
-    """Activation int8 quantization on the per-slab absmax grid.
-    Returns (xq int8 [m, kp], sx f32 [kp/S])."""
-    m = x.shape[0]
-    xp = x.astype(jnp.float32)
-    if kp != x.shape[1]:
-        xp = jnp.pad(xp, ((0, 0), (0, kp - x.shape[1])))
-    nslab = kp // I8G_SLAB
-    xs = xp.reshape(m, nslab, I8G_SLAB)
-    sx = jnp.maximum(jnp.abs(xs).max(axis=(0, 2)), 1e-20) / 127.0
-    xq = jnp.round(xs / sx[None, :, None]).astype(jnp.int8).reshape(m, kp)
-    return xq, sx
-
-
-def _qmm_i8g_xla(x: jax.Array, qt: QuantTensor) -> jax.Array:
-    """Pure-XLA i8g matmul: one native s8xs8->s32 dot per 512-row scale
-    slab, scaled on the [M, N] step output. No Pallas — XLA's own int8
-    MXU path plus fusion of the scale/accumulate chain."""
-    n, k = qt.shape
-    kp = qt.qs.shape[0]
-    xq, sx = _i8g_quantize_x(x, kp)
-    se = qt.scales * sx[:, None]  # [nslab, N]
-    acc = None
-    for g in range(kp // I8G_SLAB):
-        lo = g * I8G_SLAB
-        p = jax.lax.dot_general(
-            xq[:, lo : lo + I8G_SLAB],
-            qt.qs[lo : lo + I8G_SLAB, :],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        c = p.astype(jnp.float32) * se[g][None, :]
-        acc = c if acc is None else acc + c
-    return acc
 
 
 def _i4g_kernel(slabs_per_step: int):
@@ -1071,7 +1035,7 @@ def _qmm_i8_pallas(x: jax.Array, qt: QuantTensor, block_n: int = 256, interpret:
     args = [xp, qt.qs, qt.scales]
 
     out = pl.pallas_call(
-        _i8_kernel(group, ku),
+        _i8_kernel(group),
         out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
         grid=grid,
         in_specs=in_specs,

@@ -133,7 +133,12 @@ def pack_batch(batch: "Batch", t_pad: int, trash_cell: int, cells: np.ndarray):
     Shared by every decode engine (single-device, staged, remote staged);
     padding rows write to the trash cell. Returns
     (tokens, pos, seq, seq_bits, cell_idx, valid, mask64) — mask64 is the
-    per-token uint64 seq bitmask for the host mirrors."""
+    per-token uint64 seq bitmask for the host mirrors.
+
+    The uint64 mirror math (here, in every context's h_seq, and in
+    fused.launch) assumes SEQ_WORDS == 2; widening the device bitmask also
+    requires generalizing these."""
+    assert kv.SEQ_WORDS == 2, "host seq mirrors are uint64 (64 slots); see docstring"
     n = len(batch)
     tokens = np.zeros(t_pad, np.int32)
     pos = np.zeros(t_pad, np.int32)
@@ -202,9 +207,15 @@ class InferenceContext:
         # on the wire (the tunnel RTT is ~30 ms/transfer; a single worker
         # would re-serialize one RTT per in-flight run)
         import concurrent.futures as _cf
+        import threading as _th
 
         self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=4)
-        # timings (ref: llama_print_timings)
+        # timings (ref: llama_print_timings). Counters accumulate
+        # dispatch->fetch WALL time per handle (overlapping handles each
+        # count their full latency — a utilization-style figure, not
+        # throughput); the lock keeps concurrent fetch threads from losing
+        # updates
+        self._time_lock = _th.Lock()
         self.t_eval = 0.0
         self.n_eval = 0
         self.t_prefill = 0.0
@@ -463,12 +474,13 @@ class InferenceContext:
                     for i in range(_n)
                 ]
             dt = time.perf_counter() - _t0
-            if _isdecode:
-                self.t_eval += dt
-                self.n_eval += _n
-            else:
-                self.t_prefill += dt
-                self.n_prefill += _n
+            with self._time_lock:
+                if _isdecode:
+                    self.t_eval += dt
+                    self.n_eval += _n
+                else:
+                    self.t_prefill += dt
+                    self.n_prefill += _n
             return host
 
         return AsyncHandle(logits=out, fetch=fetch, cells=cells).start_fetch(

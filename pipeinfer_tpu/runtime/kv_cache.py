@@ -36,8 +36,9 @@ from ..ops.layers import apply_rope
 # store arbitrary-size seq-id SETS; here membership is a fixed bitmask so
 # the mask fits device registers and seq ops stay O(cells). 64 slots carry
 # ~16 concurrent speculative streams at the default stride (spec/multi.py
-# carves per-request namespaces); raise SEQ_WORDS to widen — every format
-# below scales with it (masks are [C, SEQ_WORDS]), at +4 bytes/cell/word.
+# carves per-request namespaces); raising SEQ_WORDS widens the DEVICE
+# formats (masks are [C, SEQ_WORDS], +4 bytes/cell/word) but also requires
+# generalizing the uint64 HOST mirrors (context.pack_batch asserts this).
 SEQ_WORDS = 2  # up to 64 concurrent sequence slots
 MASK_VALUE = -1e9  # additive mask (finite to avoid exp(-inf - -inf) NaN)
 

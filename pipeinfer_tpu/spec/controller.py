@@ -147,7 +147,7 @@ class PipeInferController:
         # chain feature needs them (grammar masking walks the full vocab)
         self.topk: int | None = None
         if sampling.mirostat == 0 and not sampling.logit_bias and grammar is None:
-            self.topk = min(128, 1 << 30)
+            self.topk = min(128, ctx_tgt.cfg.n_vocab)
 
         self.runs: deque[AsyncRun] = deque()  # newest appended right
         n_par = sp.n_parallel
@@ -304,8 +304,8 @@ class PipeInferController:
             self.n_rejected += 1
             return False
 
+        handle = self.tgt.decode_async(batch_tgt, self.topk)  # may CacheFull
         self.stats.n_drafted += n_drafted
-        handle = self.tgt.decode_async(batch_tgt, self.topk)
         depth0 = len(branches[0].tokens)
         max_depth = max(len(b.tokens) for b in branches if b.active)
         self.runs.append(
@@ -394,16 +394,23 @@ class PipeInferController:
             if run.max_decide < self.n_committed:
                 run.canceled = True
             else:
-                # compare only positions already committed: beyond them the
-                # assumed values may still be in flight (fused runs resolve
-                # through their own eager fetch)
+                # compare only committed positions whose assumed values
+                # have RESOLVED: a committed bonus token can land at the
+                # first position of a still-in-flight chained run's
+                # segment, and materializing it here would block on that
+                # run's fetch (stalling every fully-accepted verify).
+                # Unresolved positions defer — each retire re-checks, and
+                # verification never commits unvetted tokens.
                 ap = run.assumed_prefix
                 n = min(len(ap), max(0, self.n_committed - run.prefix_base))
-                ok = all(
-                    self._token_at(run.prefix_base + i) == ap[i] for i in range(n)
-                )
-                if not ok:
-                    run.canceled = True
+                get = ap.maybe if isinstance(ap, fused.ChainView) else ap.__getitem__
+                for i in range(n):
+                    v = get(i)
+                    if v is None:
+                        break  # still in flight: defer the decision
+                    if self._token_at(run.prefix_base + i) != v:
+                        run.canceled = True
+                        break
             if run.canceled and cancel_hook is not None:
                 # propagate backwards through the pipeline so stages that
                 # have not reached this microbatch skip its compute
@@ -622,12 +629,15 @@ class PipeInferController:
             self.sampler.accept(t, apply_grammar=False)
 
         t_enc0 = time.perf_counter()
-        # prefill: target async (the first non-spec run), draft sync
+        # prefill: target async (the first non-spec run), draft sync.
+        # The draft logits are discarded (cells only) — ship the sparse
+        # top-k pack instead of the full [bucket, n_vocab] f32 matrix
+        # (65 MB at 512 tokens x 32k vocab over a ~44 MB/s tunnel)
         self._launch_nonspec(list(prompt_ids), 0)
         b = Batch()
         for i, t in enumerate(prompt_ids):
             b.add(t, i, self.seq_base, want_logits=(i == len(prompt_ids) - 1))
-        self.dft.decode(b)  # draft prefill (cells only)
+        self.dft.decode(b, self.topk)  # draft prefill (cells only)
         self.metrics.t_encode_s = time.perf_counter() - t_enc0
         self.metrics.n_encoded = len(prompt_ids)
         self.chain_root = None  # no token to chain from yet
@@ -671,7 +681,7 @@ class PipeInferController:
         while self.runs:
             r = self.runs.popleft()
             self.stats.n_drafted_unverified += r.n_drafted
-            self.metrics.n_dead_tokens += len(r.batch)
+            self.metrics.n_dead_tokens += len(r.batch) or r.n_drafted
             if r.speculative:
                 self._discard_cells(r)
                 self.free_offsets.append(r.seq_offset)

@@ -220,6 +220,23 @@ class ChainView:
             i -= n
         raise IndexError(i)
 
+    def maybe(self, i):
+        """Non-blocking __getitem__: None if the owning run's tokens are
+        still in flight. Cancellation checks use this so comparing an
+        assumed prefix never stalls the pipeline on a pending segment —
+        the decision defers to a later check (every retire re-checks, and
+        verification never commits unvetted tokens)."""
+        if i < 0 or i >= self._total:
+            raise IndexError(i)
+        i += self.skip
+        for seg, n in zip(self.segs, self.lens):
+            if i < n:
+                if not ChainBuf._seg_resolved(seg):
+                    return None
+                return ChainBuf._seg_tokens(seg)[i]
+            i -= n
+        raise IndexError(i)
+
     def __iter__(self):
         for i in range(self._total):
             yield self[i]
