@@ -214,7 +214,7 @@ def main():
                       topk=TOPK,
                       chain_depths=(CHAIN,), n_cand=0, seq_groups=(1,), max_workers=4, log=log),
             ex.submit(ctx_d.precompile, buckets=tuple({32, _bucket(len(prompt))}),
-                      topk=None,
+                      topk=TOPK,  # draft prefill ships the sparse pack
                       chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
             ex.submit(warm_fused),
         ]
