@@ -187,28 +187,36 @@ def main():
     from pipeinfer_tpu.runtime import kv_cache as _kv
     from pipeinfer_tpu.runtime.context import _shared_fused_spec
 
-    def warm_fused():
-        fn = _shared_fused_spec(
-            ctx_d._forward, dcfg, ctx_t._forward, tcfg, n_draft, TOPK
-        )
-        dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
-        tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
-        depth = n_draft
-        out, _, _ = fn(
-            ctx_d.params, dc, ctx_t.params, tc,
-            np.int32(1), np.int32(0), np.int32(1),
-            np.full(depth, ctx_d.trash_cell, np.int32),
-            np.arange(depth, dtype=np.int32),
-            np.full(depth, 1, np.int32),
-            np.full(depth, ctx_t.trash_cell, np.int32),
-            np.zeros((depth, _kv.SEQ_WORDS), np.uint32),
-            np.int32(0),
-        )
-        np.asarray(out[0, 0])
-        return []
+    def warm_fused(depth):
+        def run():
+            fn = _shared_fused_spec(
+                ctx_d._forward, dcfg, ctx_t._forward, tcfg, depth, TOPK
+            )
+            dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
+            tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
+            out, _, _ = fn(
+                ctx_d.params, dc, ctx_t.params, tc,
+                np.int32(1), np.int32(0), np.int32(1),
+                np.full(depth, ctx_d.trash_cell, np.int32),
+                np.arange(depth, dtype=np.int32),
+                np.full(depth, 1, np.int32),
+                np.full(depth, ctx_t.trash_cell, np.int32),
+                np.zeros((depth, _kv.SEQ_WORDS), np.uint32),
+                np.int32(0),
+            )
+            np.asarray(out[0, 0])
+            return []
+
+        return run
+
+    # adaptive depth compiles a ladder of fused variants (SpecParams.ladder):
+    # warm every rung this bench can reach, including the degraded row's
+    fused_depths = set(SpecParams(n_draft=n_draft).ladder())
+    if not args.quick and args.eps == 0.0 and not args.no_degraded:
+        fused_depths |= set(SpecParams(n_draft=8).ladder())
 
     t0 = time.time()
-    with cf.ThreadPoolExecutor(max_workers=3) as ex:
+    with cf.ThreadPoolExecutor(max_workers=3 + len(fused_depths)) as ex:
         futs = [
             ex.submit(ctx_t.precompile, buckets=tuple({1, 32, _bucket(len(prompt))}),
                       topk=TOPK,
@@ -216,8 +224,7 @@ def main():
             ex.submit(ctx_d.precompile, buckets=tuple({32, _bucket(len(prompt))}),
                       topk=TOPK,  # draft prefill ships the sparse pack
                       chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
-            ex.submit(warm_fused),
-        ]
+        ] + [ex.submit(warm_fused(d)) for d in sorted(fused_depths)]
         errs = []
         for f in futs:
             errs += f.result()
@@ -417,7 +424,8 @@ def main():
             f"{deg_tps:.2f} tok/s, decided accept "
             f"{100 * st2.accept_rate_decided:.1f}%, runs {m2.n_runs} "
             f"({m2.n_canceled_runs} canceled), dead work "
-            f"{100 * m2.dead_work_frac:.1f}%"
+            f"{100 * m2.dead_work_frac:.1f}%, depth mix {c2.depth_counts}, "
+            f"accept EMA {c2.accept_ema:.3f}"
         )
         if deg_tokens[: min(len(deg_tokens), len(base_tokens))] != base_tokens[: min(len(deg_tokens), len(base_tokens))]:
             log("WARNING: degraded-draft tokens diverge from baseline (greedy)")

@@ -181,12 +181,34 @@ class PipeInferController:
         # spec/fused.py for eligibility; falls back to host drafting
         self.use_fused = fused.supported(self)
         # per-run draft-sampler seeds (stochastic fused runs); derived from
-        # the sampling seed so seeded generations are reproducible
-        self._fused_seed = (sampling.seed if sampling.seed >= 0 else 0) * 1000003
+        # the sampling seed so seeded generations are reproducible. seed < 0
+        # means "random": draw a real entropy base so distinct engines do
+        # not replay identical Gumbel draft sequences (identical acceptance
+        # patterns would bias stochastic benchmarks)
+        if sampling.seed >= 0:
+            base_seed = sampling.seed
+        else:
+            import os
+
+            base_seed = int.from_bytes(os.urandom(4), "little")
+        self._fused_seed = base_seed * 1000003
+        # acceptance EMA drives the fused depth ladder (SpecParams.pick_depth)
+        # and the chain-survival launch gate; optimistic start = first runs
+        # use full depth, exactly the pre-adaptive behavior
+        self.accept_ema = 1.0
+        self.depth_counts: dict[int, int] = {}  # fused depth -> runs launched
 
     def _next_fused_seed(self) -> int:
         self._fused_seed += 1
         return self._fused_seed & 0x7FFFFFFF
+
+    def _update_accept_ema(self, n_matched: int, n_judged: int):
+        """Fold one verified run's per-token acceptance into the EMA,
+        weighted by how many drafted tokens were actually judged."""
+        if n_judged <= 0:
+            return
+        w = self.sp.ema_decay ** n_judged
+        self.accept_ema = w * self.accept_ema + (1.0 - w) * (n_matched / n_judged)
 
     # -- helpers ------------------------------------------------------------
 
@@ -341,7 +363,11 @@ class PipeInferController:
         the target verify execute in the same program; the next run chains
         from a device scalar, so launches never wait on a host fetch."""
         sp = self.sp
-        depth = sp.n_draft
+        # depth adapts to observed acceptance: fixed-depth fused chains at
+        # low acceptance burn most of their depth (the reference trims with
+        # its per-token p_accept gate; a compiled run picks its rung instead)
+        depth = sp.pick_depth(self.accept_ema)
+        self.depth_counts[depth] = self.depth_counts.get(depth, 0) + 1
         # device-side seq prep happens INSIDE the fused program; only the
         # host mirrors update here
         self.tgt.prepare_branch_seqs([offset], src_seq, self.spec_base, device=False)
@@ -449,15 +475,23 @@ class PipeInferController:
             self._after_verify([t], 0, run, v0, stop=stop)
             return stop
 
-        # fast-forward branches through already-decided positions
+        # fast-forward branches through already-decided positions; count the
+        # comparisons as acceptance evidence for the depth-adaptation EMA
+        # (a divergent draft's runs mostly die HERE, not in the verify loop)
         alive = [s for s in range(sp.n_parallel) if run.branches[s].active]
+        n_ff_judged = n_ff_matched = 0
         for i in range(v0 - run.base):
             gt = self._token_at(run.base + i)
+            if any(i < len(run.branches[s].tokens) for s in alive):
+                n_ff_judged += 1
             alive = [
                 s for s in alive if i < len(run.branches[s].tokens) and run.branches[s].tokens[i] == gt
             ]
+            if alive:
+                n_ff_matched += 1
         j = v0 - run.base - 1  # tree index whose logits decide v0
         if not alive or j < 0 or j >= len(run.branches[alive[0]].i_batch_tgt):
+            self._update_accept_ema(n_ff_matched, n_ff_judged)
             self._discard(run)
             return False
         # the fast-forwarded positions were this run's own drafted tokens,
@@ -467,6 +501,7 @@ class PipeInferController:
 
         new_tokens: list[int] = []
         m = 0
+        n_judged = 0  # sampled positions where a drafted token existed
         s_keep = alive[0]
         while True:
             idx = run.branches[alive[0]].i_batch_tgt[j]
@@ -475,6 +510,8 @@ class PipeInferController:
             new_tokens.append(t)
             self._accept_token(t, stream)
             j += 1
+            if any(j < len(run.branches[s].tokens) for s in alive):
+                n_judged += 1
             matches = [
                 s for s in alive if j < len(run.branches[s].tokens) and run.branches[s].tokens[j] == t
             ]
@@ -497,6 +534,9 @@ class PipeInferController:
                 break  # ran out of drafted logits
 
         self.n_rejected = 0
+        # fast-forwarded positions were judged too (they matched earlier
+        # runs' committed tokens — acceptance evidence either way)
+        self._update_accept_ema(m + n_ff_matched, n_judged + n_ff_judged)
         stop = self._stopped(n_predict)
         self._after_verify(new_tokens, m, run, v0, s_keep=s_keep, stop=stop)
         return stop
@@ -725,6 +765,18 @@ class PipeInferController:
             and not (self.chain_tokens and self.chain_prev_offset is None)
             and self.spec_base < limit
             and sp.p_accept + sp.p_adjust(it, self.n_rejected) < 1.0
+            # chain-survival gate: a chained run only commits if every token
+            # assumed beyond the frontier verifies; don't queue device work
+            # whose expected survival is below p_chain (at low acceptance a
+            # deep assumed prefix makes downstream runs near-certain waste).
+            # NEVER cut below min_inflight: an empty pipeline serializes the
+            # host fetch RTT (~30 ms on this tunnel) into every verify, which
+            # costs far more than the speculative device time it saves
+            and (
+                len(self.runs) < sp.min_inflight
+                or self.accept_ema ** max(self.spec_base - self.n_committed, 0)
+                >= sp.p_chain
+            )
         ):
             if not self._launch_spec(sp.p_adjust(it, self.n_rejected)):
                 break

@@ -21,6 +21,52 @@ class SpecParams:
     # eager chaining)
     min_inflight: int = 2
 
+    # -- acceptance-adaptive depth (fused runs) ----------------------------
+    # The reference trims drafting per token with a p_accept gate on the
+    # draft's top-prob (README.md:191-220 tuning envelope); a fused TPU run
+    # is a fixed-depth compiled program, so the equivalent control is to
+    # pick each run's depth from a small compiled ladder using the observed
+    # per-token acceptance rate (EMA), maximizing expected committed tokens
+    # per unit run cost: E[d] = 1 + a(1-a^d)/(1-a) over cost fixed + d.
+    adapt_depth: bool = True
+    # per-run fixed cost (dispatch + target verify) in draft-step units;
+    # measured on the 7B+TinyLlama-ratio bench pair: verify ~6 ms (one
+    # weight-streaming pass, nearly depth-independent) over ~1.4 ms per
+    # draft chain step
+    fixed_cost_steps: float = 4.0
+    # per-judged-token EMA decay for the acceptance estimate
+    ema_decay: float = 0.9
+    # minimum probability that a chained run's assumed prefix survives
+    # verification (accept_ema ** assumed_len) for the pump to launch it —
+    # the chain-level counterpart of the reference's p_accept draft gate
+    p_chain: float = 0.2
+
+    def ladder(self) -> tuple[int, ...]:
+        """Compiled fused-run depths (halving from n_draft, max 4 rungs).
+        Each rung is a separate XLA executable — warmed at startup like the
+        KV hot-bucket ladder."""
+        if not self.adapt_depth:
+            return (self.n_draft,)
+        out, d = [], self.n_draft
+        while d >= 2 and len(out) < 4:
+            out.append(d)
+            d //= 2
+        return tuple(sorted(set(out))) or (self.n_draft,)
+
+    def pick_depth(self, accept_ema: float) -> int:
+        """Throughput-maximizing rung for the current acceptance estimate."""
+        rungs = self.ladder()
+        if len(rungs) == 1:
+            return rungs[0]
+        a = min(max(accept_ema, 0.05), 0.999)
+        best, best_v = rungs[-1], -1.0
+        for d in rungs:
+            exp_tokens = 1.0 + a * (1.0 - a**d) / (1.0 - a)
+            v = exp_tokens / (self.fixed_cost_steps + d)
+            if v > best_v:
+                best, best_v = d, v
+        return best
+
     def p_adjust(self, iter_: int, n_rejected: int) -> float:
         """Adaptive speculation throttle (ref: speculative.cpp:846-848)."""
         return iter_ * self.p_recovery - max(n_rejected * self.p_decay, 0.0)

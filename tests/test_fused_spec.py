@@ -133,3 +133,52 @@ def test_fused_stochastic_top1_matches_greedy(models):
     assert c.use_fused
     got = c.generate([3, 17, 42], 12)
     assert got == want, f"{got} vs {want}"
+
+
+# -- acceptance-adaptive depth (SpecParams.ladder / pick_depth) -------------
+
+
+def test_depth_ladder_and_pick():
+    sp = SpecParams(n_draft=8)
+    assert sp.ladder() == (2, 4, 8)
+    sp32 = SpecParams(n_draft=32)
+    assert sp32.ladder() == (4, 8, 16, 32)
+    # fixed depth when adaptation is off
+    assert SpecParams(n_draft=8, adapt_depth=False).ladder() == (8,)
+    # perfect acceptance -> full depth; low acceptance -> shallow rung;
+    # monotone non-decreasing in the acceptance estimate
+    assert sp.pick_depth(1.0) == 8
+    assert sp.pick_depth(0.1) == 2
+    prev = 0
+    for a in np.linspace(0.05, 0.999, 40):
+        d = sp.pick_depth(float(a))
+        assert d >= prev, f"pick_depth not monotone at a={a}: {d} < {prev}"
+        prev = d
+
+
+def test_adaptive_depth_token_exact_across_transitions(models):
+    """A divergent draft drives the acceptance EMA down mid-generation, so
+    the controller crosses depth rungs; output must stay token-exact and
+    multiple rungs must actually be used."""
+    tgt, dft = models
+    ref = _plain_greedy(tgt, PROMPT, N)
+    sp = SpecParams(n_draft=8, n_parallel=1, p_accept=0.0, max_inflight=3)
+    c = PipeInferController(_ctx(tgt), _ctx(dft), GREEDY, sp, eos_id=-1)
+    assert c.use_fused
+    got = c.generate(list(PROMPT), N)
+    assert got == ref
+    assert len(c.depth_counts) >= 2, (
+        f"divergent draft should cross depth rungs, used {c.depth_counts}"
+    )
+    assert c.accept_ema < 0.9  # EMA actually moved off the optimistic start
+
+
+def test_adaptive_depth_perfect_draft_stays_deep(models):
+    """A perfect draft keeps the EMA at ~1.0: every fused run uses the full
+    configured depth (adaptation must not tax the best case)."""
+    tgt, _ = models
+    sp = SpecParams(n_draft=8, n_parallel=1, p_accept=0.0, max_inflight=3)
+    c = PipeInferController(_ctx(tgt), _ctx(tgt), GREEDY, sp, eos_id=-1)
+    got = c.generate(list(PROMPT), N)
+    assert got == _plain_greedy(tgt, PROMPT, N)
+    assert set(c.depth_counts) == {8}, c.depth_counts
