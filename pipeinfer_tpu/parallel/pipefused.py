@@ -74,8 +74,15 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
     """Stack per-layer weights along a leading stage axis [S, Lps, ...] and
     shard: stage axis over 'stage', head/ffn dims over 'model'.
 
-    Weights are densified to bf16 here (quantized planes stay packed only on
-    the single-chip fast path for now)."""
+    Quantized matmul slots whose per-layer QuantTensors agree on
+    (qtype, layout, shape) for an N-last layout (i4g/i8g/i8/k4/k_major)
+    stay PACKED: their planes stack to [S, Lps, rows, N] and shard along
+    output columns over 'model', so every device streams packed bytes —
+    the 70B-class configs this path exists for keep the single-chip HBM
+    economics (ref: ggml-quants.c dot kernels run packed on every rank;
+    ggml-mpi.c:523-587 splits quantized slabs). Slots that can't stack
+    (mixed per-layer ftypes, e.g. Q4_K_M's per-layer Q6_K upgrades, or
+    dense checkpoints) densify to bf16 as before."""
     from ..ops.qmatmul import QuantTensor, dequant
 
     s, lps = pc.n_stages, cfg.n_layers // pc.n_stages
@@ -115,43 +122,134 @@ def stack_params(params: dict[str, Any], cfg: ModelConfig, pc: PipeConfig, mesh:
         "w_gate": ("wgu", 0, cfg.n_ff), "w_up": ("wgu", cfg.n_ff, 2 * cfg.n_ff),
     }
 
+    def per_layer(slot):
+        """The slot's weight for every layer (de-fusing wqkv/wgu loads)."""
+        out = []
+        for lp in params["layers"]:
+            if slot in lp:
+                out.append(lp[slot])
+            else:
+                fused, lo, hi = _SEGS[slot]
+                w = lp[fused]
+                if isinstance(w, QuantTensor):
+                    out.append(_qt_rows(w, lo, hi))
+                else:
+                    out.append(w[lo:hi])
+        return out
+
     def stack(slot, norm=False):
         conv = dense32 if norm else dense
-
-        def g(lp):
-            if slot in lp or norm:
-                return conv(lp[slot])
-            fused, lo, hi = _SEGS[slot]
-            return dense(lp[fused])[lo:hi]
-
+        ws = per_layer(slot) if not norm else [lp[slot] for lp in params["layers"]]
         return jnp.stack(
             [
-                jnp.stack([g(params["layers"][st * lps + i]) for i in range(lps)])
+                jnp.stack([conv(ws[st * lps + i]) for i in range(lps)])
                 for st in range(s)
             ]
         )  # [S, Lps, N, K]
 
+    def stack_packed(slot) -> QuantTensor | None:
+        """Stage-stack a quantized slot's packed planes to [S, Lps, rows, N]
+        with the aux shape set to the SHARD-LOCAL (N/tp, K); None when the
+        per-layer tensors can't stack or the output dim doesn't split."""
+        ws = per_layer(slot)
+        first = ws[0]
+        if not all(
+            isinstance(w, QuantTensor)
+            and w.qtype == first.qtype
+            and w.layout == first.layout
+            and w.shape == first.shape
+            for w in ws
+        ):
+            return None
+        if first.layout not in ("i4g", "i8g", "i8", "k4", "k_major"):
+            return None  # N-last matmul layouts only
+        n, k = first.shape
+        if n % pc.tp:
+            return None  # output columns split bytes-exactly at any divisor;
+            # per-shard kernel tileability is qmatmul's own fallback decision
+        def stk(attr):
+            planes = [getattr(w, attr) for w in ws]
+            if any(pl is None for pl in planes):
+                return None
+            return jnp.stack([
+                jnp.stack([planes[st * lps + i] for i in range(lps)])
+                for st in range(s)
+            ])
+        return QuantTensor(
+            qs=stk("qs"), qh=stk("qh"), scales=stk("scales"), bias=stk("bias"),
+            qtype=first.qtype, shape=(n // pc.tp, k), layout=first.layout,
+            scales2=stk("scales2"), bias2=stk("bias2"),
+        )
+
     def put(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    def put_qt(qt: QuantTensor, spec) -> QuantTensor:
+        sh = NamedSharding(mesh, spec)
+        return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sh), qt)
+
+    # packed planes are [S, Lps, rows, N]: output columns (N, the LAST plane
+    # axis) shard over 'model' for EVERY matmul slot — wo/w_down included
+    # (their inputs are all-gathered in the layer body; see _stage_layers)
+    qspec = P("stage", None, None, "model")
+
+    def matmul_slot(slot):
+        qt = stack_packed(slot)
+        if qt is not None:
+            return put_qt(qt, qspec)
+        if slot in ("wq", "wk", "wv", "w_gate", "w_up"):
+            return put(stack(slot), P("stage", None, "model", None))
+        return put(stack(slot), P("stage", None, None, "model"))
+
+    out_w = params["output"]
+    if (
+        isinstance(out_w, QuantTensor)
+        and out_w.layout in ("i4g", "i8g", "i8", "k4", "k_major")
+        and out_w.shape[0] % pc.tp == 0
+    ):
+        head = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P(None, "model"))),
+            dataclasses.replace(
+                out_w, shape=(out_w.shape[0] // pc.tp, out_w.shape[1])
+            ),
+        )
+    else:
+        head = put(dense(out_w), P("model", None))
+
     stacked = {
-        # column-parallel: output dim sharded over 'model'
-        "wq": put(stack("wq"), P("stage", None, "model", None)),
-        "wk": put(stack("wk"), P("stage", None, "model", None)),
-        "wv": put(stack("wv"), P("stage", None, "model", None)),
-        "w_gate": put(stack("w_gate"), P("stage", None, "model", None)),
-        "w_up": put(stack("w_up"), P("stage", None, "model", None)),
-        # row-parallel: input dim sharded over 'model' (psum after)
-        "wo": put(stack("wo"), P("stage", None, None, "model")),
-        "w_down": put(stack("w_down"), P("stage", None, None, "model")),
+        "wq": matmul_slot("wq"),
+        "wk": matmul_slot("wk"),
+        "wv": matmul_slot("wv"),
+        "w_gate": matmul_slot("w_gate"),
+        "w_up": matmul_slot("w_up"),
+        "wo": matmul_slot("wo"),
+        "w_down": matmul_slot("w_down"),
         "attn_norm": put(stack("attn_norm", norm=True), P("stage", None, None)),
         "ffn_norm": put(stack("ffn_norm", norm=True), P("stage", None, None)),
-        # embedding on stage 0, head on last stage — replicated for simplicity
+        # embedding on stage 0 — replicated (row gathers want the n_major
+        # dense table; its bytes are read per-token, not streamed per step)
         "tok_embd": put(dense(params["tok_embd"]), P(None, None)),
         "output_norm": put(jnp.asarray(params["output_norm"], jnp.float32), P(None)),
-        "output": put(dense(params["output"]), P("model", None)),
+        "output": head,
     }
     return stacked
+
+
+def _qt_rows(qt, lo: int, hi: int):
+    """Output-row slice [lo, hi) of an N-last QuantTensor (de-fuses wqkv/wgu
+    loads: every plane's last axis is indexed by output column)."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        qt,
+        qs=qt.qs[:, lo:hi],
+        qh=qt.qh[:, lo:hi] if qt.qh is not None else None,
+        scales=qt.scales[:, lo:hi],
+        bias=qt.bias[:, lo:hi],
+        scales2=qt.scales2[:, lo:hi] if qt.scales2 is not None else None,
+        bias2=qt.bias2[:, lo:hi] if qt.bias2 is not None else None,
+        shape=(hi - lo, qt.shape[1]),
+    )
 
 
 def init_cache(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh, batch: int, max_len: int):
@@ -176,12 +274,34 @@ def init_cache(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh, batch: int, max_len
 # ---------------------------------------------------------------------------
 
 
+def _mm(x, w):
+    """x [M, K] @ W[N, K]^T for a dense bf16 [N, K] weight or a packed
+    QuantTensor shard (the single-chip fused kernels run per shard)."""
+    from ..ops.qmatmul import QuantTensor, qmatmul
+
+    if isinstance(w, QuantTensor):
+        return qmatmul(x, w)
+    return jnp.dot(x.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32)
+
+
+def _is_qt(w) -> bool:
+    from ..ops.qmatmul import QuantTensor
+
+    return isinstance(w, QuantTensor)
+
+
 def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, pos_slab, h, pos, tp: int):
     """Run this stage's layer slab on h [B, T, E] with per-stream positions.
 
     k_cache/v_cache: [Lps, B, C, KVH/tp, D]; pos_slab [B, C] stored slot
     positions (-1 empty); pos [B, T] query positions. Returns
-    (h, k_cache, v_cache, pos_slab)."""
+    (h, k_cache, v_cache, pos_slab).
+
+    Weight comms: dense wo/w_down are row-parallel (input sharded, psum
+    after); packed QuantTensor wo/w_down are OUTPUT-sharded (packed planes
+    only split along output columns), so their inputs all-gather over
+    'model' first and their outputs all-gather back — a few KB at decode
+    batch sizes, while the weights stream packed."""
     b, t, e = h.shape
     heads = cfg.n_heads // tp
     kvh = cfg.n_kv_heads // tp
@@ -208,9 +328,9 @@ def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, pos_slab, h, pos, tp: i
         wq, wk, wv, wo, wg, wu, wd, anorm, fnorm = lp
         a = L.rms_norm(h, anorm, cfg.norm_eps)
         af = a.reshape(b * t, e)
-        q = jnp.dot(af.astype(jnp.bfloat16), wq.T, preferred_element_type=jnp.float32)
-        k = jnp.dot(af.astype(jnp.bfloat16), wk.T, preferred_element_type=jnp.float32)
-        v = jnp.dot(af.astype(jnp.bfloat16), wv.T, preferred_element_type=jnp.float32)
+        q = _mm(af, wq)
+        k = _mm(af, wk)
+        v = _mm(af, wv)
         q = q.reshape(b * t, heads, d)
         k = k.reshape(b * t, kvh, d)
         if cfg.rope_mode != "none":
@@ -228,15 +348,24 @@ def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, pos_slab, h, pos, tp: i
         pr = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("btkgc,bckd->btkgd", pr, vc.astype(jnp.float32))
         attn = attn.reshape(b * t, heads * d)
-        o = jnp.dot(attn.astype(jnp.bfloat16), wo.T, preferred_element_type=jnp.float32)
-        o = jax.lax.psum(o, "model")  # row-parallel reduction
+        if _is_qt(wo):
+            # packed shard is output-sharded: gather the head-sharded input,
+            # run the packed kernel locally, gather the output columns
+            attn = jax.lax.all_gather(attn, "model", axis=1, tiled=True)
+            o = jax.lax.all_gather(_mm(attn, wo), "model", axis=1, tiled=True)
+        else:
+            o = jax.lax.psum(_mm(attn, wo), "model")  # row-parallel reduction
         h = h + o.reshape(b, t, e)
 
         f = L.rms_norm(h, fnorm, cfg.norm_eps).reshape(b * t, e)
-        gate = L.silu(jnp.dot(f.astype(jnp.bfloat16), wg.T, preferred_element_type=jnp.float32))
-        up = jnp.dot(f.astype(jnp.bfloat16), wu.T, preferred_element_type=jnp.float32)
-        dn = jnp.dot((gate * up).astype(jnp.bfloat16), wd.T, preferred_element_type=jnp.float32)
-        dn = jax.lax.psum(dn, "model")
+        gate = L.silu(_mm(f, wg))
+        up = _mm(f, wu)
+        mid = gate * up
+        if _is_qt(wd):
+            mid = jax.lax.all_gather(mid, "model", axis=1, tiled=True)
+            dn = jax.lax.all_gather(_mm(mid, wd), "model", axis=1, tiled=True)
+        else:
+            dn = jax.lax.psum(_mm(mid, wd), "model")
         h = h + dn.reshape(b, t, e)
         return (h, kc, vc), None
 
@@ -251,7 +380,7 @@ def _stage_layers(cfg: ModelConfig, p, k_cache, v_cache, pos_slab, h, pos, tp: i
         (h, kci, vci), _ = one_layer((h, kc_all[li], vc_all[li]), lp)
         return (h, kc_all.at[li].set(kci), vc_all.at[li].set(vci)), None
 
-    lps = p["wq"].shape[0]
+    lps = p["attn_norm"].shape[0]  # wq may be a QuantTensor (aux shape)
     (h, k2, v2), _ = jax.lax.scan(
         scan_body, (h, k_cache, v_cache), (layer_params, jnp.arange(lps))
     )
@@ -286,10 +415,11 @@ def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
             bm = b_l // M
 
             # strip the (sharded, now size-1) stage axis off layer weights
+            # (tree_map handles packed QuantTensor slots leaf-by-leaf)
             p = dict(p)
             for key in ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
                         "attn_norm", "ffn_norm"):
-                p[key] = p[key][0]
+                p[key] = jax.tree_util.tree_map(lambda a: a[0], p[key])
 
             kc = k_cache[0]
             vc = v_cache[0]
@@ -349,17 +479,16 @@ def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
                 "stage",
             )
             out = L.rms_norm(h, p["output_norm"], cfg.norm_eps)
-            local_logits = jnp.dot(
-                out.reshape(b_l * t, -1).astype(jnp.bfloat16),
-                p["output"].T,
-                preferred_element_type=jnp.float32,
+            local_logits = _mm(
+                out.reshape(b_l * t, -1), p["output"]
             ).reshape(b_l, t, -1)
-            # 'output' is sharded over 'model' rows -> gather columns
+            # 'output' is vocab-sharded over 'model' (dense rows or packed
+            # output columns) -> gather the vocab axis
             logits = jax.lax.all_gather(local_logits, "model", axis=2, tiled=True)
             return logits, k_cache.at[0].set(kc), v_cache.at[0].set(vc), \
                 pos_cache.at[0].set(psl)
 
-        specs = {
+        dense_specs = {
             "wq": P("stage", None, "model", None),
             "wk": P("stage", None, "model", None),
             "wv": P("stage", None, "model", None),
@@ -372,6 +501,20 @@ def build_step(cfg: ModelConfig, pc: PipeConfig, mesh: Mesh):
             "tok_embd": P(None, None),
             "output_norm": P(None),
             "output": P("model", None),
+        }
+        # packed QuantTensor slots shard their planes' LAST axis (output
+        # columns) over 'model'; the head has no stage/layer axes
+        specs = {
+            key: (
+                jax.tree_util.tree_map(
+                    lambda _: P(None, "model") if key == "output"
+                    else P("stage", None, None, "model"),
+                    w,
+                )
+                if _is_qt(w)
+                else dense_specs[key]
+            )
+            for key, w in params.items()
         }
         cache_spec = P("stage", None, "data", None, "model", None)
         pos_spec = P("stage", "data", None)

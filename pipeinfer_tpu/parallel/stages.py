@@ -131,7 +131,7 @@ class StagedInferenceContext:
 
     # -- stage step fns ------------------------------------------------------
 
-    def _stage_fn(self, si: int, topk) -> Callable:
+    def _stage_fn(self, si: int, topk, hot: int | None = None) -> Callable:
         first = si == 0
         last = si == len(self.groups) - 1
         if self.tp > 1:
@@ -140,6 +140,7 @@ class StagedInferenceContext:
             return _staged_step_tp(
                 self.cfg, first, last, topk if last else None,
                 self.meshes[si], tpmod._freeze(self.stage_specs[si]),
+                self.caches[si].hot if hot is None else hot,
             )
         return _staged_step(self.cfg, first, last, topk if last else None)
 
@@ -212,14 +213,14 @@ class StagedInferenceContext:
 
     def _refresh_hot(self):
         """Hot-cell bounding for staged caches: stamp the shared bucket
-        (kv.hot_bucket) on every non-TP stage cache so attention streams
-        only the occupied prefix (TP caches stay hot=0 because their
-        shard_map in_specs are built from cache_spec())."""
+        (kv.hot_bucket) on every stage cache so attention streams only the
+        occupied prefix (TP stages pass the hot value into their step
+        builders, whose shard_map in_specs come from cache_spec(hot))."""
         import dataclasses as _dc
 
         hot = kv.hot_bucket(self.h_pos, self.trash_cell)
         for i in range(len(self.caches)):
-            if self.meshes[i] is None and self.caches[i].hot != hot:
+            if self.caches[i].hot != hot:
                 self.caches[i] = _dc.replace(self.caches[i], hot=hot)
 
     # -- allocation (host mirror, shared across stages) ----------------------
@@ -329,9 +330,9 @@ class StagedInferenceContext:
             import dataclasses as _dc
 
             def run():
-                fn = self._stage_fn(si, _topk)
+                fn = self._stage_fn(si, _topk, hot)
                 cache = jax.tree_util.tree_map(jnp.copy, self.caches[si])
-                if hot and self.meshes[si] is None:
+                if hot:
                     cache = _dc.replace(cache, hot=hot)
                 x = (np.zeros(b, np.int32) if si == 0
                      else np.zeros((b, self.cfg.n_embd), np.float32))
@@ -422,7 +423,7 @@ def _staged_step(cfg, first, last, topk):
 
 
 @functools.lru_cache(maxsize=None)
-def _staged_step_tp(cfg, first, last, topk, mesh, specs_key):
+def _staged_step_tp(cfg, first, last, topk, mesh, specs_key, hot=0):
     """TP-inside-a-stage step: shard_map over the stage's sub-mesh."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
@@ -445,8 +446,9 @@ def _staged_step_tp(cfg, first, last, topk, mesh, specs_key):
     fn = shard_map(
         inner,
         mesh=mesh,
-        in_specs=(specs, tpmod.cache_spec(), x_spec, rep, rep, rep, rep, P(None, None)),
-        out_specs=(P(None, None), tpmod.cache_spec()),
+        in_specs=(specs, tpmod.cache_spec(hot), x_spec, rep, rep, rep, rep,
+                  P(None, None)),
+        out_specs=(P(None, None), tpmod.cache_spec(hot)),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(1,))

@@ -49,10 +49,23 @@ def tp_mesh(devices: Sequence) -> Mesh:
     return Mesh(np.asarray(list(devices)), axis_names=("model",))
 
 
+# matmul layouts whose every device plane keeps N (the output dim) as the
+# LAST axis — k_major packed planes, the int8-widened "i8", the MXU-resident
+# "i8g"/"i4g" requant layouts, and the planar "k4": all of them shard along
+# output columns without touching a single packed byte's K structure
+# (ref: ggml-mpi.c:523-587 splits quantized slabs the same way — whole
+# quantized rows per rank)
+_N_LAST_LAYOUTS = ("k_major", "i8", "i8g", "i4g", "k4")
+
+
 def _stack_qt(qt: QuantTensor, tp: int) -> QuantTensor:
-    """[rows, N] k_major planes -> [tp, rows, N/tp] (whole-row shards)."""
+    """[rows, N] planes -> [tp, rows, N/tp] (whole-output-column shards)."""
     n, k = qt.shape
     assert n % tp == 0, f"output dim {n} not divisible by tp={tp}"
+    if qt.layout not in _N_LAST_LAYOUTS:
+        raise NotImplementedError(
+            f"TP sharding needs an N-last matmul layout, got {qt.layout!r}"
+        )
 
     def stk(plane):
         if plane is None:
@@ -62,6 +75,7 @@ def _stack_qt(qt: QuantTensor, tp: int) -> QuantTensor:
     return QuantTensor(
         qs=stk(qt.qs), qh=stk(qt.qh), scales=stk(qt.scales), bias=stk(qt.bias),
         qtype=qt.qtype, shape=(n // tp, k), layout=qt.layout,
+        scales2=stk(qt.scales2), bias2=stk(qt.bias2),
     )
 
 
@@ -87,11 +101,15 @@ def _stack_dense_segs(w: jax.Array, tp: int, segs) -> jax.Array:
 
 
 def _stack_qt_segs(qt: QuantTensor, tp: int, segs) -> QuantTensor:
-    """Fused-qkv QuantTensor: k_major planes are [rows_k, N] — the N
+    """Fused-qkv QuantTensor: every supported plane is [rows_k, N] — the N
     (output) axis splits per segment, scales/bias planes alongside."""
     n, k = qt.shape
     bounds = np.cumsum([0, *segs])
     assert bounds[-1] == n and all(s % tp == 0 for s in segs), (segs, n, tp)
+    if qt.layout not in _N_LAST_LAYOUTS:
+        raise NotImplementedError(
+            f"TP sharding needs an N-last matmul layout, got {qt.layout!r}"
+        )
 
     def stk(plane):
         if plane is None:
@@ -108,6 +126,7 @@ def _stack_qt_segs(qt: QuantTensor, tp: int, segs) -> QuantTensor:
     return QuantTensor(
         qs=stk(qt.qs), qh=stk(qt.qh), scales=stk(qt.scales), bias=stk(qt.bias),
         qtype=qt.qtype, shape=(n // tp, k), layout=qt.layout,
+        scales2=stk(qt.scales2), bias2=stk(qt.bias2),
     )
 
 
@@ -117,14 +136,10 @@ def _shard_leaf(slot: str, w, tp: int, cfg: ModelConfig | None = None):
         assert cfg is not None
         segs = (cfg.n_ff, cfg.n_ff) if slot == "wgu" else _qkv_segs(cfg)
         if isinstance(w, QuantTensor):
-            if w.layout != "k_major":
-                raise NotImplementedError("TP expects k_major matmul weights")
             return _stack_qt_segs(w, tp, segs), True
         return _stack_dense_segs(w, tp, segs), True
     if slot in _SHARD_W:
         if isinstance(w, QuantTensor):
-            if w.layout != "k_major":
-                raise NotImplementedError("TP expects k_major matmul weights")
             return _stack_qt(w, tp), True
         return _stack_dense(w, tp), True
     if slot in _SHARD_B:
@@ -186,19 +201,24 @@ def unstack_local(params, specs):
 # -- sharded KV cache --------------------------------------------------------
 
 
-def cache_spec() -> kv.KVCache:
+def cache_spec(hot: int = 0) -> kv.KVCache:
     """PartitionSpec tree for a KVCache: K/V head-sharded, metadata
-    replicated."""
+    replicated. `hot` must match the runtime cache's static aux (the
+    pytree structures have to agree for shard_map in_specs), so TP caches
+    get the same hot-cell bounding as single-chip ones."""
     return kv.KVCache(
         k=P(None, "model", None, None),
         v=P(None, "model", None, None),
         pos=P(None),
         seq=P(None, None),
+        hot=hot,
     )
 
 
 def shard_cache(cache: kv.KVCache, mesh: Mesh) -> kv.KVCache:
-    sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), cache_spec())
+    sh = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), cache_spec(cache.hot)
+    )
     return jax.device_put(cache, sh)
 
 
@@ -213,7 +233,7 @@ def _freeze(specs):
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs_key, t_pad):
+def _cached_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs_key, t_pad, hot):
     del t_pad  # shapes key the inner jit cache; kept for clarity
     specs_struct, specs_leaves = specs_key
     specs = jax.tree_util.tree_unflatten(specs_struct, list(specs_leaves))
@@ -231,25 +251,28 @@ def _cached_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs_key, t_pad):
     fn = shard_map(
         inner,
         mesh=mesh,
-        in_specs=(specs, cache_spec(), rep, rep, rep, rep, rep, P(None, None)),
-        out_specs=(P(None, None), cache_spec()),
+        in_specs=(specs, cache_spec(hot), rep, rep, rep, rep, rep, P(None, None)),
+        out_specs=(P(None, None), cache_spec(hot)),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(1,))
 
 
-def build_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs, t_pad: int):
-    return _cached_tp_step(cfg, topk, mesh, _freeze(specs), t_pad)
+def build_tp_step(cfg: ModelConfig, topk, mesh: Mesh, specs, t_pad: int, hot: int = 0):
+    return _cached_tp_step(cfg, topk, mesh, _freeze(specs), t_pad, hot)
 
 
 @functools.lru_cache(maxsize=None)
-def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
+def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key, hot,
+                     samp=None):
+    from ..runtime.context import _device_draft_sample
+
     specs_struct, specs_leaves = specs_key
     specs = jax.tree_util.tree_unflatten(specs_struct, list(specs_leaves))
     tp = mesh.shape["model"]
     lcfg = staged.local_cfg(cfg, tp)
 
-    def inner(params, cache, root_token, pos0, seq_id, cell_idx):
+    def inner(params, cache, root_token, pos0, seq_id, cell_idx, *key):
         p = unstack_local(params, specs)
 
         def body(carry, i):
@@ -264,10 +287,14 @@ def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
             if n_cand == 0:
                 nxt = jnp.argmax(row).astype(jnp.int32)
                 return (cache, nxt, pos + 1), (nxt, nxt[None].astype(jnp.float32))
+            if samp is not None:
+                nxt = _device_draft_sample(row, samp, jax.random.fold_in(key[0], i))
             lse = jax.scipy.special.logsumexp(row)
             vals, ids = jax.lax.top_k(row, n_cand)
             packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
-            return (cache, ids[0], pos + 1), (ids[0], packed)
+            if samp is None:
+                nxt = ids[0]
+            return (cache, nxt, pos + 1), (nxt, packed)
 
         (cache, _, _), (toks, packs) = jax.lax.scan(
             body, (cache, root_token, pos0), jnp.arange(depth)
@@ -279,15 +306,17 @@ def _cached_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs_key):
         return out, root_next, cache
 
     rep = P()
+    key_spec = () if samp is None else (P(None),)
     fn = shard_map(
         inner,
         mesh=mesh,
-        in_specs=(specs, cache_spec(), rep, rep, rep, P(None)),
-        out_specs=(P(None, None), P(), cache_spec()),
+        in_specs=(specs, cache_spec(hot), rep, rep, rep, P(None), *key_spec),
+        out_specs=(P(None, None), P(), cache_spec(hot)),
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(1,))
 
 
-def build_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs):
-    return _cached_tp_chain(cfg, depth, n_cand, mesh, _freeze(specs))
+def build_tp_chain(cfg: ModelConfig, depth, n_cand, mesh: Mesh, specs, hot: int = 0,
+                   samp=None):
+    return _cached_tp_chain(cfg, depth, n_cand, mesh, _freeze(specs), hot, samp)

@@ -230,21 +230,29 @@ class InferenceContext:
         if self.mesh is not None:
             from ..parallel import tp
 
-            return tp.build_tp_step(self.cfg, topk, self.mesh, self._tp_specs, t_pad)
+            return tp.build_tp_step(
+                self.cfg, topk, self.mesh, self._tp_specs, t_pad, self.cache.hot
+            )
         return _shared_step(self._forward, self.cfg, topk)
 
     # -- on-device draft chain ---------------------------------------------
 
-    def _chain_fn(self, depth: int, n_cand: int) -> Callable:
+    def _chain_fn(self, depth: int, n_cand: int, samp=None) -> Callable:
         if self.mesh is not None:
             from ..parallel import tp
 
-            return tp.build_tp_chain(self.cfg, depth, n_cand, self.mesh, self._tp_specs)
-        return _shared_chain(self._forward, self.cfg, depth, n_cand)
+            return tp.build_tp_chain(
+                self.cfg, depth, n_cand, self.mesh, self._tp_specs,
+                self.cache.hot, samp,
+            )
+        return _shared_chain(self._forward, self.cfg, depth, n_cand, samp)
     def draft_chain(self, root_token, pos0: int, seq_id: int, depth: int,
-                    n_cand: int = 8, fetch: bool = True):
-        """Draft a greedy chain of `depth` tokens rooted at `root_token`
-        (decoded at pos0). Returns (tokens [depth], candidates list of
+                    n_cand: int = 8, fetch: bool = True,
+                    samp: tuple | None = None, seed: int = 0):
+        """Draft a chain of `depth` tokens rooted at `root_token`
+        (decoded at pos0) — greedy, or sampled ON DEVICE when
+        samp=(temp, top_k, top_p, min_p) (seed keys the per-step Gumbel
+        draws). Returns (tokens [depth], candidates list of
         SparseLogits per step — candidates for the token drafted at that
         step). One dispatch + one host fetch. n_cand=0 skips the
         per-step top-k/normalizer entirely (bare greedy decode — the
@@ -265,9 +273,10 @@ class InferenceContext:
         self.h_pos[cells] = pos0 + np.arange(depth)
         self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
         self._refresh_hot()
-        fn = self._chain_fn(depth, n_cand)
+        fn = self._chain_fn(depth, n_cand, samp)
         if not isinstance(root_token, jax.Array):
             root_token = np.int32(root_token)
+        extra = (jax.random.PRNGKey(seed),) if samp is not None else ()
         out, root_next, self.cache = fn(
             self.params,
             self.cache,
@@ -275,6 +284,7 @@ class InferenceContext:
             np.int32(pos0),
             np.int32(seq_id),
             cells.astype(np.int32),
+            *extra,
         )
         if not fetch:
             return out, root_next
@@ -324,7 +334,7 @@ class InferenceContext:
 
         hots = [0]
         h = 512
-        while h < self.trash_cell + 1 and self.mesh is None:
+        while h < self.trash_cell + 1:
             hots.append(h)
             h *= 2
 
@@ -410,11 +420,9 @@ class InferenceContext:
         """Stamp the cache's static high-water mark from the host mirror so
         attention streams only the occupied prefix of the cell pool (the
         first-fit allocator keeps occupancy prefix-dense; see
-        kv.hot_bucket for the shared bucket ladder). TP contexts keep
-        hot=0: their shard_map in_specs are built from cache_spec(), whose
-        pytree aux must match the runtime cache's."""
-        if self.mesh is not None:
-            return
+        kv.hot_bucket for the shared bucket ladder). TP contexts pass the
+        hot value into their step builders, whose shard_map in_specs are
+        built from cache_spec(hot) to keep the pytree aux matched."""
         hot = kv.hot_bucket(self.h_pos, self.trash_cell)
         if hot != self.cache.hot:
             self.cache = dataclasses.replace(self.cache, hot=hot)
@@ -787,12 +795,16 @@ def _shared_fused_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk, samp=None):
 
 
 @functools.lru_cache(maxsize=None)
-def _shared_chain(forward, cfg, depth, n_cand):
+def _shared_chain(forward, cfg, depth, n_cand, samp=None):
     @functools.partial(jax.jit, donate_argnums=(1,))
-    def chain(params, cache, root_token, pos0, seq_id, cell_idx):
-        """Greedy-draft `depth` tokens in ONE program (lax.scan): the
-        per-depth decode->sample->decode chain stays on device, turning the
-        draft loop's `depth` host round trips into one."""
+    def chain(params, cache, root_token, pos0, seq_id, cell_idx, *key):
+        """Draft `depth` tokens in ONE program (lax.scan): the per-depth
+        decode->sample->decode chain stays on device, turning the draft
+        loop's `depth` host round trips into one. samp=None drafts greedily;
+        samp=(temp, top_k, top_p, min_p) samples on device via the Gumbel
+        chain (one extra PRNG-key argument) — the staged/DCN-target
+        counterpart of the fused stochastic path (ref: the per-depth draft
+        sampling loop, speculative.cpp:957-1104)."""
 
         def body(carry, i):
             cache, tok, pos = carry
@@ -806,10 +818,16 @@ def _shared_chain(forward, cfg, depth, n_cand):
                 # bare greedy chain (bench baseline): no candidate pack
                 nxt = jnp.argmax(row).astype(jnp.int32)
                 return (cache, nxt, pos + 1), (nxt, nxt[None].astype(jnp.float32))
+            if samp is None:
+                nxt = None  # greedy: the top candidate
+            else:
+                nxt = _device_draft_sample(row, samp, jax.random.fold_in(key[0], i))
             lse = jax.scipy.special.logsumexp(row)
             vals, ids = jax.lax.top_k(row, n_cand)
             packed = jnp.concatenate([vals, ids.astype(jnp.float32), lse[None]])
-            return (cache, ids[0], pos + 1), (ids[0], packed)
+            if nxt is None:
+                nxt = ids[0]
+            return (cache, nxt, pos + 1), (nxt, packed)
 
         (cache, _, _), (toks, packs) = jax.lax.scan(
             body, (cache, root_token, pos0), jnp.arange(depth)
