@@ -102,6 +102,13 @@ def main():
                     help="speculation chain depth (default: CHAIN=32; the "
                          "reference tunes <=8 for mismatch-heavy drafts)")
     ap.add_argument("--inflight", type=int, default=4, help="max in-flight runs")
+    ap.add_argument("--no-adapt", action="store_true",
+                    help="disable acceptance-adaptive fused depth")
+    ap.add_argument("--p-chain", type=float, default=None,
+                    help="chain-survival launch gate (SpecParams.p_chain)")
+    ap.add_argument("--fixed-cost", type=float, default=None,
+                    help="depth cost model: per-run fixed cost in draft-step "
+                         "units (SpecParams.fixed_cost_steps)")
     ap.add_argument("--prompt-len", type=int, default=25,
                     help="prompt tokens (prefill cost / TTFT scale with this)")
     ap.add_argument("--no-degraded", action="store_true",
@@ -307,8 +314,15 @@ def main():
     # margin-design bench models draft with top-prob ~1.0 so the gate
     # passes whenever the draft is actually confident. Deep chains
     # amortize the host-dispatch RTT (the tunnel adds ~30ms per round trip)
+    sp_kw = {}
+    if args.no_adapt:
+        sp_kw["adapt_depth"] = False
+    if args.p_chain is not None:
+        sp_kw["p_chain"] = args.p_chain
+    if args.fixed_cost is not None:
+        sp_kw["fixed_cost_steps"] = args.fixed_cost
     sp = SpecParams(n_draft=n_draft, n_parallel=1, p_accept=0.1, p_split=0.9,
-                    max_inflight=args.inflight)
+                    max_inflight=args.inflight, **sp_kw)
     ctx_t2 = InferenceContext(tparams, tcfg, n_cells=n_cells)
     ctx_d2 = InferenceContext(dparams, dcfg, n_cells=n_cells)
     c_warm = PipeInferController(ctx_t2, ctx_d2, GREEDY, sp, eos_id=-1)
@@ -335,7 +349,7 @@ def main():
         f"runs {m.n_runs} ({m.n_canceled_runs} canceled), "
         f"dead work {100 * m.dead_work_frac:.1f}%, "
         f"ttft {m.ttft_s * 1e3:.1f}ms (excl. prefill), "
-        f"itl avg {m.avg_itl * 1e3:.2f}ms"
+        f"itl avg {m.avg_itl * 1e3:.2f}ms, depth mix {c.depth_counts}"
     )
 
     # correctness cross-check: greedy speculative output must match baseline
@@ -474,6 +488,60 @@ def main():
             "accept_decided": round(s2.stats.accept_rate_decided, 4),
         }
 
+    # ---- device-resident speculative loop --------------------------------
+    # R speculative rounds per dispatch with ON-DEVICE verification
+    # (spec/device_loop.py): no host in the loop, no cross-run cancellation
+    # waste — the single-chip fast engine. Reported for the perfect-draft
+    # pair and the degraded pair (same honest-acceptance regime as above).
+    device_loop = None
+    device_loop_degraded = None
+    if not args.no_degraded or args.quick:
+        from pipeinfer_tpu.spec.device_loop import DeviceLoopEngine
+
+        def run_loop(dp, dc, d_depth, rounds, n):
+            cells = len(prompt) + n + 3 * rounds * (d_depth + 1) + 64
+            eng = DeviceLoopEngine(
+                InferenceContext(tparams, tcfg, n_cells=cells),
+                InferenceContext(dp, dc, n_cells=cells),
+                GREEDY, SpecParams(n_draft=d_depth, adapt_depth=False),
+                eos_id=-1, rounds=rounds,
+            )
+            eng.generate(list(prompt), min(n, 3 * CHAIN), ignore_eos=True)  # warm
+            eng2 = DeviceLoopEngine(
+                InferenceContext(tparams, tcfg, n_cells=cells),
+                InferenceContext(dp, dc, n_cells=cells),
+                GREEDY, SpecParams(n_draft=d_depth, adapt_depth=False),
+                eos_id=-1, rounds=rounds,
+            )
+            t0 = time.time()
+            toks = eng2.generate(list(prompt), n, ignore_eos=True)
+            dt = time.time() - t0
+            return toks, len(toks) / dt, eng2.stats
+
+        dl_tokens, dl_tps, dl_st = run_loop(dparams, dcfg, n_draft, 4, n_predict)
+        k2 = min(len(dl_tokens), len(base_tokens))
+        if dl_tokens[:k2] != base_tokens[:k2]:
+            log("WARNING: device-loop tokens diverge from baseline (greedy)")
+        log(f"device-loop decode: {dl_tps:.2f} tok/s, accept "
+            f"{100 * dl_st.accept_rate_decided:.1f}% decided, "
+            f"{dl_st.n_rounds} rounds")
+        device_loop = {"tokens_per_sec": round(dl_tps, 3),
+                       "vs_baseline": round(dl_tps / base_tps, 4),
+                       "n_draft": n_draft, "rounds_per_dispatch": 4}
+        if not args.quick and args.eps == 0.0 and not args.no_degraded:
+            dld_tokens, dld_tps, dld_st = run_loop(dparams2, dcfg2, 8, 8, n_predict)
+            k2 = min(len(dld_tokens), len(base_tokens))
+            if dld_tokens[:k2] != base_tokens[:k2]:
+                log("WARNING: degraded device-loop tokens diverge from baseline")
+            log(f"device-loop degraded (eps=0.02, draft=8): {dld_tps:.2f} tok/s, "
+                f"accept {100 * dld_st.accept_rate_decided:.1f}% decided")
+            device_loop_degraded = {
+                "eps": 0.02, "n_draft": 8,
+                "tokens_per_sec": round(dld_tps, 3),
+                "vs_baseline": round(dld_tps / base_tps, 4),
+                "accept_decided": round(dld_st.accept_rate_decided, 4),
+            }
+
     # ---- realistic-prompt prefill probe (p50 TTFT scale) ----------------
     # BASELINE.md's TTFT metric lives at 512-2048 prompt tokens; measure a
     # warm 512-token prefill step (one weight pass at bucket 512).
@@ -539,6 +607,10 @@ def main():
         out["degraded"] = degraded
     if stochastic:
         out["stochastic"] = stochastic
+    if device_loop:
+        out["device_loop"] = device_loop
+    if device_loop_degraded:
+        out["device_loop_degraded"] = device_loop_degraded
     if multi:
         out["multi_stream"] = multi
     print(json.dumps(out))

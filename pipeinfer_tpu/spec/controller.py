@@ -197,6 +197,7 @@ class PipeInferController:
         # use full depth, exactly the pre-adaptive behavior
         self.accept_ema = 1.0
         self.depth_counts: dict[int, int] = {}  # fused depth -> runs launched
+        self._cur_depth: int | None = None  # current rung (hysteresis state)
 
     def _next_fused_seed(self) -> int:
         self._fused_seed += 1
@@ -309,6 +310,7 @@ class PipeInferController:
             batch_tgt=batch_tgt,
             p_adjust=p_adjust,
             topk=self.topk,
+            seed=self._next_fused_seed(),
         )
         for br in branches:
             if br.tokens:
@@ -366,7 +368,8 @@ class PipeInferController:
         # depth adapts to observed acceptance: fixed-depth fused chains at
         # low acceptance burn most of their depth (the reference trims with
         # its per-token p_accept gate; a compiled run picks its rung instead)
-        depth = sp.pick_depth(self.accept_ema)
+        depth = sp.pick_depth(self.accept_ema, self._cur_depth)
+        self._cur_depth = depth
         self.depth_counts[depth] = self.depth_counts.get(depth, 0) + 1
         # device-side seq prep happens INSIDE the fused program; only the
         # host mirrors update here

@@ -52,6 +52,22 @@ def new_branches(n: int, sampler_proto: SamplerState) -> list[DraftBranch]:
     return [DraftBranch(sampler=sampler_proto.copy()) for _ in range(n)]
 
 
+def _chain_samp(params) -> tuple | None:
+    """(temp, top_k, top_p, min_p) for ON-DEVICE chain sampling, or None
+    when the sampler chain needs host-side features (penalties window,
+    mirostat state, logit bias). Greedy (temp<0 "greedy with probs") is
+    handled separately — the chain program's argmax."""
+    no_pen = params.penalty_last_n == 0 or (
+        params.penalty_repeat == 1.0
+        and params.penalty_freq == 0.0
+        and params.penalty_present == 0.0
+    )
+    if params.temp <= 0 or not no_pen or params.mirostat != 0 or params.logit_bias:
+        return None
+    return (float(params.temp), int(params.top_k),
+            float(params.top_p), float(params.min_p))
+
+
 def draft_tree(
     ctx_dft: InferenceContext,
     sp: SpecParams,
@@ -65,6 +81,7 @@ def draft_tree(
     batch_tgt: Batch,
     p_adjust: float = 0.0,
     topk: int | None = None,
+    seed: int = 0,  # keys on-device stochastic chain draws
 ) -> tuple[int, np.ndarray | None]:
     """Grow a draft tree from `root_token`.
 
@@ -88,18 +105,30 @@ def draft_tree(
     root.skip = False
     root.tokens.append(root_token)  # chained token; erased before launch
 
-    # fast path: single-branch greedy chains run entirely ON DEVICE (one
-    # dispatch + one fetch instead of a host round trip per depth) — the
-    # decisive optimization when per-call latency dominates (TPU tunnels)
+    # fast path: single-branch chains run entirely ON DEVICE (one dispatch
+    # + one fetch instead of a host round trip per depth) — the decisive
+    # optimization when per-call latency dominates (TPU tunnels). Greedy
+    # chains use the program's argmax; temp>0 samplers without host-side
+    # state (penalties/mirostat/bias) draft via the on-device Gumbel chain,
+    # so staged/DCN-target speculation keeps the one-dispatch shape in the
+    # common serving regime too (ref: the per-depth draft loop this
+    # replaces, speculative.cpp:957-1104).
+    samp = None
+    if root.sampler is not None and root.sampler.params.temp > 0:
+        samp = _chain_samp(root.sampler.params)
     if (
         n_par == 1
         and root_logits is None
         and root.sampler is not None
-        and root.sampler.params.temp < 0
+        and (root.sampler.params.temp < 0 or samp is not None)
         and root.sampler.grammar is None
+        and hasattr(ctx_dft, "draft_chain")
     ):
         try:
-            tokens, cands = ctx_dft.draft_chain(root_token, dft_base, seq_offset, sp.n_draft)
+            tokens, cands = ctx_dft.draft_chain(
+                root_token, dft_base, seq_offset, sp.n_draft,
+                samp=samp, seed=seed,
+            )
         except RuntimeError:
             return 0, None  # cache full: skip this speculation
         for i, (tok, cand) in enumerate(zip(tokens, cands)):

@@ -29,17 +29,27 @@ class SpecParams:
     # per-token acceptance rate (EMA), maximizing expected committed tokens
     # per unit run cost: E[d] = 1 + a(1-a^d)/(1-a) over cost fixed + d.
     adapt_depth: bool = True
-    # per-run fixed cost (dispatch + target verify) in draft-step units;
-    # measured on the 7B+TinyLlama-ratio bench pair: verify ~6 ms (one
-    # weight-streaming pass, nearly depth-independent) over ~1.4 ms per
-    # draft chain step
-    fixed_cost_steps: float = 4.0
+    # per-run fixed cost (dispatch + target verify + the run's amortized
+    # share of the host fetch RTT) in draft-step units. Measured on the
+    # 7B+TinyLlama-ratio bench pair: verify ~6 ms (one weight-streaming
+    # pass, nearly depth-independent) + ~RTT/inflight over ~1.4 ms per
+    # draft chain step. Keep this HONESTLY high: undervaluing the fixed
+    # cost makes the policy downshift on transient EMA dips, and every
+    # depth switch alternates compiled executables (measured ~30-60 ms per
+    # swap on the tunneled runtime).
+    fixed_cost_steps: float = 10.0
     # per-judged-token EMA decay for the acceptance estimate
     ema_decay: float = 0.9
+    # only switch rungs when the predicted value improves by this factor —
+    # hysteresis against executable flapping at rung boundaries
+    depth_hysteresis: float = 0.15
     # minimum probability that a chained run's assumed prefix survives
     # verification (accept_ema ** assumed_len) for the pump to launch it —
-    # the chain-level counterpart of the reference's p_accept draft gate
-    p_chain: float = 0.2
+    # the chain-level counterpart of the reference's p_accept draft gate.
+    # 0 = off (the measured default on single-chip: dead speculative device
+    # time costs less than the RTT serialization an empty pipeline causes);
+    # raise for device-bound multi-chip topologies
+    p_chain: float = 0.0
 
     def ladder(self) -> tuple[int, ...]:
         """Compiled fused-run depths (halving from n_draft, max 4 rungs).
@@ -53,18 +63,28 @@ class SpecParams:
             d //= 2
         return tuple(sorted(set(out))) or (self.n_draft,)
 
-    def pick_depth(self, accept_ema: float) -> int:
-        """Throughput-maximizing rung for the current acceptance estimate."""
+    def depth_value(self, d: int, accept_ema: float) -> float:
+        """Expected committed tokens per unit run cost at depth d."""
+        a = min(max(accept_ema, 0.05), 0.999)
+        exp_tokens = 1.0 + a * (1.0 - a**d) / (1.0 - a)
+        return exp_tokens / (self.fixed_cost_steps + d)
+
+    def pick_depth(self, accept_ema: float, current: int | None = None) -> int:
+        """Throughput-maximizing rung for the current acceptance estimate.
+        With `current` set, sticks to the current rung unless the best
+        rung's predicted value clears the hysteresis margin (rung changes
+        alternate compiled executables — flapping costs real wall time)."""
         rungs = self.ladder()
         if len(rungs) == 1:
             return rungs[0]
-        a = min(max(accept_ema, 0.05), 0.999)
         best, best_v = rungs[-1], -1.0
         for d in rungs:
-            exp_tokens = 1.0 + a * (1.0 - a**d) / (1.0 - a)
-            v = exp_tokens / (self.fixed_cost_steps + d)
+            v = self.depth_value(d, accept_ema)
             if v > best_v:
                 best, best_v = d, v
+        if current in rungs and best != current:
+            if best_v < self.depth_value(current, accept_ema) * (1.0 + self.depth_hysteresis):
+                return current
         return best
 
     def p_adjust(self, iter_: int, n_rejected: int) -> float:

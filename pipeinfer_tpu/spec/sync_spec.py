@@ -139,6 +139,7 @@ class SyncSpeculator:
                 tgt_base=n_past + 1,
                 batch_tgt=batch_tgt,
                 topk=self.topk,
+                seed=self.stats.n_rounds,
             )
             self.stats.n_drafted += n_drafted
             for br in branches:
