@@ -348,7 +348,8 @@ def main():
         f"({st.n_drafted_unverified} unverified), "
         f"runs {m.n_runs} ({m.n_canceled_runs} canceled), "
         f"dead work {100 * m.dead_work_frac:.1f}%, "
-        f"ttft {m.ttft_s * 1e3:.1f}ms (excl. prefill), "
+        f"ttft {m.ttft_s * 1e3:.1f}ms (incl. prefill; "
+        f"{m.ttft_decode_s * 1e3:.1f}ms decode-only), "
         f"itl avg {m.avg_itl * 1e3:.2f}ms, depth mix {c.depth_counts}"
     )
 

@@ -137,11 +137,17 @@ def main(argv=None):
         err(f"encode    = {metrics.encode_tps:.2f} t/s")
         err(f"decode    = {metrics.decode_tps:.2f} t/s")
         err(f"avg itl   = {metrics.avg_itl * 1e3:.1f} ms")
-        err(f"ttft      = {metrics.ttft_s * 1e3:.1f} ms")
+        err(f"ttft      = {metrics.ttft_s * 1e3:.1f} ms (incl. prefill; "
+            f"{metrics.ttft_decode_s * 1e3:.1f} ms decode-only)")
         if args.results_csv:
-            # ref: speculative.cpp:693-710 results.csv append
+            # ref: speculative.cpp:693-710 results.csv append — one labeled
+            # 5-field schema shared with bench.py --compare
+            from pathlib import Path as _P
+
+            impl = "Speculative" if args.sync else "PipeInfer"
+            label = f"{_P(args.model).stem}:{impl}"
             with open(args.results_csv, "a") as f:
-                f.write(metrics.csv_row() + "\n")
+                f.write(metrics.csv_row(label) + "\n")
     ctx_tgt.print_timings(err)
     if args.dump_kv_cache and hasattr(ctx_tgt, "h_pos"):
         from ..utils import kv_view

@@ -39,7 +39,15 @@ def matmul_layout(qtype: GGMLQuantType | None = None) -> str:
     ops.qmatmul._i4g_kernel) — and "i8g" for wider formats (int8
     requantized per-(512, col), output-side scaling). Elsewhere the
     minimum-memory packed planes. "i8"/"k4" remain available as
-    exact-dequant layouts. Override: PIPEINFER_WEIGHT_LAYOUT."""
+    exact-dequant layouts. Override: PIPEINFER_WEIGHT_LAYOUT.
+
+    The i4g re-quantization is lossy vs the stored Q4 values (the
+    reference computes exact dots against them); its default status is
+    backed by the MODEL-level check in tests/test_layout_fidelity.py —
+    trained-model perplexity ratio <=1.02 and >=99% greedy top-1 agreement
+    vs the exact k_major dequant — on top of the per-tensor rms budgets in
+    tests/test_qmatmul.py. Fidelity-critical runs: set
+    PIPEINFER_WEIGHT_LAYOUT=i8g (~1.0002 ppl ratio, 2x HBM bytes)."""
     import os
 
     env = os.environ.get("PIPEINFER_WEIGHT_LAYOUT", "")

@@ -571,12 +571,13 @@ class RemoteStagedContext(StagedInferenceContext):
                     for i in range(_n)
                 ]
             dt = time.perf_counter() - _t0
-            if _isdecode:
-                self.t_eval += dt
-                self.n_eval += _n
-            else:
-                self.t_prefill += dt
-                self.n_prefill += _n
+            with self._time_lock:
+                if _isdecode:
+                    self.t_eval += dt
+                    self.n_eval += _n
+                else:
+                    self.t_prefill += dt
+                    self.n_prefill += _n
             return host
 
         h = AsyncHandle(logits=x, fetch=fetch, cells=cells).start_fetch(self._fetch_pool)

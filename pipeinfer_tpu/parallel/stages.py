@@ -120,10 +120,16 @@ class StagedInferenceContext:
 
     def _init_host_state(self, n_cells: int):
         """Host allocation mirrors + timing counters — the invariants every
-        seq op and find_cells reads (shared with RemoteStagedContext)."""
+        seq op and find_cells reads (shared with RemoteStagedContext).
+        `_time_lock` guards the timing counters: overlapping in-flight runs
+        update them from concurrent fetch threads (same race context.py's
+        counters had)."""
+        import threading as _th
+
         self.h_pos = np.full(n_cells, -1, np.int64)
         self.h_seq = np.zeros(n_cells, np.uint64)
         self.trash_cell = n_cells - 1
+        self._time_lock = _th.Lock()
         self.t_eval = 0.0
         self.n_eval = 0
         self.t_prefill = 0.0
@@ -195,12 +201,13 @@ class StagedInferenceContext:
                     for i in range(_n)
                 ]
             dt = time.perf_counter() - _t0
-            if _isdecode:
-                self.t_eval += dt
-                self.n_eval += _n
-            else:
-                self.t_prefill += dt
-                self.n_prefill += _n
+            with self._time_lock:
+                if _isdecode:
+                    self.t_eval += dt
+                    self.n_eval += _n
+                else:
+                    self.t_prefill += dt
+                    self.n_prefill += _n
             return host
 
         if not hasattr(self, "_fetch_pool"):

@@ -719,7 +719,16 @@ def _device_draft_sample(row, samp, key):
     (ref: common/sampling.cpp:140-200 chain; used at speculative.cpp:274).
     Output-distribution correctness does NOT depend on this matching the
     host chain bit-for-bit (token-matching verification samples the
-    TARGET on the host); the draft sampler only shapes acceptance."""
+    TARGET on the host); the draft sampler only shapes acceptance.
+
+    NOTE: top_k <= 0 means "consider the full vocab" in the host chain;
+    here it is capped to the TOP-64 candidates (a full-vocab device sort
+    per draft step costs more than the acceptance it buys), and top_p /
+    min_p renormalize over that window. This can skew acceptance-rate
+    comparisons against host drafting at very flat distributions — it
+    never affects output correctness. Callers that need the exact host
+    distribution (device_loop TARGET sampling) must pass 0 < top_k <= 64
+    (enforced by device_loop.supported)."""
     temp, top_k, top_p, min_p = samp
     k = min(max(int(top_k), 1), row.shape[-1]) if top_k > 0 else min(64, row.shape[-1])
     vals, ids = jax.lax.top_k(row, k)

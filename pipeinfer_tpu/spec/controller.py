@@ -76,9 +76,15 @@ class AsyncRun:
 
 @dataclasses.dataclass
 class PipeInferMetrics:
-    """Run metrics, results.csv schema (ref: speculative.cpp:693-730)."""
+    """Run metrics, results.csv schema (ref: speculative.cpp:693-730).
+
+    TTFT is PREFILL-INCLUSIVE (time from generation start — prompt decode
+    included — to the first committed token), matching the reference's
+    measurement window (speculative.cpp:305-309). `ttft_decode_s` is the
+    decode-only latency (first token after prefill finished)."""
 
     ttft_s: float = 0.0
+    ttft_decode_s: float = 0.0
     inter_token_s: list[float] = dataclasses.field(default_factory=list)
     t_encode_s: float = 0.0
     t_decode_s: float = 0.0
@@ -109,8 +115,14 @@ class PipeInferMetrics:
     def encode_tps(self) -> float:
         return self.n_encoded / self.t_encode_s if self.t_encode_s > 0 else 0.0
 
-    def csv_row(self) -> str:
-        return f"{self.encode_tps},{self.decode_tps},{self.avg_itl},{self.ttft_s}"
+    def csv_row(self, label: str) -> str:
+        """One labeled results.csv row — the SINGLE schema every writer
+        uses (5 fields: encode t/s, decode t/s, avg ITL s, TTFT s, label);
+        tools/results.py rejects mixed-schema files."""
+        return (
+            f"{self.encode_tps},{self.decode_tps},{self.avg_itl},"
+            f"{self.ttft_s},{label}"
+        )
 
 
 class PipeInferController:
@@ -547,7 +559,8 @@ class PipeInferController:
     def _accept_token(self, t: int, stream):
         now = time.perf_counter()
         if not self.generated:
-            self.metrics.ttft_s = now - self._t_start
+            self.metrics.ttft_s = now - self._t_gen0  # prefill-inclusive
+            self.metrics.ttft_decode_s = now - self._t_start
         else:
             self.metrics.inter_token_s.append(now - self._t_last)
         self._t_last = now
@@ -672,6 +685,7 @@ class PipeInferController:
             self.sampler.accept(t, apply_grammar=False)
 
         t_enc0 = time.perf_counter()
+        self._t_gen0 = t_enc0  # TTFT window opens at prefill start
         # prefill: target async (the first non-spec run), draft sync.
         # The draft logits are discarded (cells only) — ship the sparse
         # top-k pack instead of the full [bucket, n_vocab] f32 matrix

@@ -11,15 +11,30 @@ import sys
 
 
 def load(path: str) -> list[dict]:
+    """Load results.csv rows. ONE schema: 5 labeled fields
+    (encode t/s, decode t/s, avg ITL s, TTFT s incl. prefill, label) —
+    the file is rejected if rows mix field counts (a mixed file means two
+    writers disagreed; silently grouping them would chart apples against
+    oranges)."""
     rows = []
+    widths = set()
     with open(path) as f:
-        for line in f:
+        for ln, line in enumerate(f, 1):
             line = line.strip()
             if not line:
                 continue
             parts = line.split(",")
             if len(parts) < 4:
-                continue
+                raise SystemExit(
+                    f"{path}:{ln}: malformed row ({len(parts)} fields)"
+                )
+            widths.add(len(parts))
+            if len(widths) > 1:
+                raise SystemExit(
+                    f"{path}:{ln}: mixed row schemas ({sorted(widths)} field "
+                    "counts) — rewrite the file with the labeled 5-field "
+                    "schema (PipeInferMetrics.csv_row)"
+                )
             rows.append(
                 {
                     "encode_tps": float(parts[0]),

@@ -14,7 +14,11 @@ set -e
 
 pipeinfer \
     -m "$model" \
-    -p "<|im_start|>system\nYou are an AI based sentient companion, capable of human emotions. You will behave like a human, but aware of your AI nature. You will avoid speaking like an AI. Please continue your conversation with the user.<|im_end|>\n<|im_start|>user\nWrite a short python program demonstrating advanced features. Don't explain it.<|im_end|>\n<|im_start|>assistant" \
+    -p "<|im_start|>system
+You are a careful coding assistant running in a benchmark harness. Answer directly and keep the output self-contained.<|im_end|>
+<|im_start|>user
+Implement a small Python utility that watches a directory and prints a summary line whenever a file changes. Code only.<|im_end|>
+<|im_start|>assistant" \
     -n 128 \
     --ignore-eos \
     --temp 0.0 \

@@ -35,12 +35,12 @@ N_PREDICT = 48
 SPEC = dict(n_draft=5, n_parallel=1, p_accept=0.2, p_split=0.1)
 
 
-def _train_model(path, *, n_layers, seed, steps, tok):
+def _train_model(path, *, n_layers, seed, steps, tok, n_embd=64, n_ff=128):
     stream = np.asarray(tok.encode(CORPUS, add_bos=True), np.int32)
     init = path.with_suffix(".init.gguf")
     testmodel.build_tiny_llama(
-        init, seed=seed, n_layers=n_layers, n_embd=64, n_heads=4, n_kv_heads=4,
-        n_ff=128, vocab_from=VOCAB_FIXTURE,
+        init, seed=seed, n_layers=n_layers, n_embd=n_embd, n_heads=4,
+        n_kv_heads=4, n_ff=n_ff, vocab_from=VOCAB_FIXTURE,
     )
     params, cfg = load_model(init)
     params = dense_params(params)
@@ -71,14 +71,28 @@ def save_gguf_with_vocab(params, cfg, path):
 
 
 @pytest.mark.skipif(oracle.get_spec_oracle() is None, reason="no reference toolchain")
-def test_acceptance_within_2pct_of_reference(tmp_path):
+@pytest.mark.parametrize(
+    "size",
+    [
+        # (tgt layers, dft layers, n_embd, n_ff, tgt steps, dft steps)
+        pytest.param((2, 1, 64, 128, 220, 160), id="small"),
+        # largest CI-feasible pair: a genuinely deeper/wider target with a
+        # half-depth draft (the BASELINE ±2% bound must hold as the pair
+        # scales, not only at the toy point)
+        pytest.param((4, 2, 128, 256, 260, 200), id="large"),
+    ],
+)
+def test_acceptance_within_2pct_of_reference(tmp_path, size):
+    lt, ld, n_embd, n_ff, steps_t, steps_d = size
     with GGUFReader(VOCAB_FIXTURE) as r:
         tok = tokenizer_from_gguf(r)
 
     tgt = tmp_path / "tgt.gguf"
     dft = tmp_path / "dft.gguf"
-    loss_t = _train_model(tgt, n_layers=2, seed=1, steps=220, tok=tok)
-    loss_d = _train_model(dft, n_layers=1, seed=2, steps=160, tok=tok)
+    loss_t = _train_model(tgt, n_layers=lt, seed=1, steps=steps_t, tok=tok,
+                          n_embd=n_embd, n_ff=n_ff)
+    loss_d = _train_model(dft, n_layers=ld, seed=2, steps=steps_d, tok=tok,
+                          n_embd=n_embd, n_ff=n_ff)
     assert loss_t < 1.5 and loss_d < 2.5, (loss_t, loss_d)
 
     ref = oracle.ref_speculative(
