@@ -44,6 +44,7 @@ import threading
 import time
 from typing import Sequence
 
+import ml_dtypes  # noqa: F401  (registers the "bfloat16" numpy dtype for the wire)
 import numpy as np
 
 from ..runtime import kv_cache as kv
@@ -96,6 +97,42 @@ def _unpack_arrays(meta: dict, blob: bytes) -> dict[str, np.ndarray]:
     return out
 
 
+def _wire_token() -> str:
+    """Shared secret for the hello handshake (PIPEINFER_DCN_TOKEN). Every
+    peer role is validated against it before being accepted — without
+    this, any network peer could connect as 'ctrl' and drive arbitrary
+    compute/KV ops, or inject activations as 'data'."""
+    return os.environ.get("PIPEINFER_DCN_TOKEN", "")
+
+
+def _check_hello(hello: dict, *, bind_host: str) -> bool:
+    import hmac
+
+    want = _wire_token()
+    if not want and bind_host not in ("localhost", "127.0.0.1", "::1"):
+        return False  # non-loopback bind REQUIRES a token
+    return hmac.compare_digest(str(hello.get("token", "")), want)
+
+
+# inter-stage activations travel bf16 by default (half the bytes on the
+# latency-tolerance axis the pipeline exists for; the reference's F32-only
+# MPI transfer is a limitation, ggml-mpi.c:451-487). The final logits hop
+# stays f32: the packed sparse rows carry token IDS as floats, and bf16's
+# 8 mantissa bits corrupt ids > 256. PIPEINFER_DCN_WIRE=f32 forces f32.
+def _wire_cast(a: np.ndarray) -> np.ndarray:
+    if os.environ.get("PIPEINFER_DCN_WIRE", "bf16") == "f32":
+        return a
+    if a.dtype == np.float32:
+        import ml_dtypes
+
+        return a.astype(ml_dtypes.bfloat16)
+    return a
+
+
+def _wire_uncast(a: np.ndarray) -> np.ndarray:
+    return a.astype(np.float32) if str(a.dtype) == "bfloat16" else a
+
+
 def _connect_retry(addr: tuple[str, int], role: str,
                    timeout: float = 900.0) -> socket.socket:
     """Retry until the peer binds its listen socket. The deadline must
@@ -108,7 +145,7 @@ def _connect_retry(addr: tuple[str, int], role: str,
             s = socket.create_connection(addr, timeout=5.0)
             s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             s.settimeout(None)
-            send_msg(s, {"role": role})
+            send_msg(s, {"role": role, "token": _wire_token()})
             return s
         except OSError:
             if time.monotonic() > deadline:
@@ -125,10 +162,15 @@ class StageWorker:
     """One pipeline stage in its own process (ref: the non-head rank's
     llama_process_mpi_worker loop, llama.cpp:9941-9977)."""
 
+    # bound on queued outbound activations: a stalled downstream worker
+    # backpressures this stage's command loop instead of growing host
+    # memory without limit (the head's ship pool is bounded the same way)
+    SEND_HIGH_WATER = 8
+
     def __init__(self, model_path: str, stage: int, n_stages: int,
                  split: Sequence[float] | None, listen_port: int,
                  next_addr: tuple[str, int], *, n_cells: int = 1024,
-                 cache_dtype=None):
+                 cache_dtype=None, bind_host: str = "localhost"):
         import jax
         import jax.numpy as jnp
 
@@ -157,19 +199,33 @@ class StageWorker:
         self.n_cells = n_cells
 
         self.listen_port = listen_port
+        self.bind_host = bind_host
         self.next_addr = next_addr
         self.canceled: set[int] = set()
         self._cancel_lock = threading.Lock()
         self._act_q: "queue.Queue[tuple[dict, bytes]]" = queue.Queue()
-        self._send_q: "queue.Queue[tuple[dict, object] | None]" = queue.Queue()
+        self._send_q: "queue.Queue[tuple[dict, object] | None]" = queue.Queue(
+            maxsize=self.SEND_HIGH_WATER
+        )
 
     # -- wiring -------------------------------------------------------------
 
     def _accept_loop(self, lsock: socket.socket, conns: dict, ev: threading.Event):
         while len(conns) < 3:
-            c, _ = lsock.accept()
+            c, peer = lsock.accept()
             c.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            hello, _ = recv_msg(c)
+            try:
+                hello, _ = recv_msg(c)
+            except (ConnectionError, OSError):
+                c.close()
+                continue
+            # authenticate BEFORE honoring the claimed role: an
+            # unauthenticated 'ctrl' peer could drive arbitrary compute/KV
+            # ops, a 'data' peer could inject activations
+            if not _check_hello(hello, bind_host=self.bind_host) or \
+                    hello.get("role") not in ("ctrl", "data", "cancel"):
+                c.close()
+                continue
             conns[hello["role"]] = c
         ev.set()
 
@@ -194,6 +250,11 @@ class StageWorker:
         """Ordered fetch+send: blocks on device completion per run, which is
         exactly the stage->next activation latency the compute of the NEXT
         queued run overlaps with (jax async dispatch)."""
+        # inter-stage hops cast f32 activations to bf16 on the wire (half
+        # the bytes on the slow-interconnect axis this topology exists
+        # for); the final logits hop stays f32 (the packed sparse rows
+        # carry token ids, which bf16 would corrupt)
+        reduce_wire = not self.last
         while True:
             item = self._send_q.get()
             if item is None:
@@ -203,6 +264,8 @@ class StageWorker:
                 send_msg(out_sock, meta)
                 continue
             host = np.asarray(arr)
+            if reduce_wire:
+                host = _wire_cast(host)
             ameta, blob = _pack_arrays({"x": host})
             meta["arrays"] = ameta
             send_msg(out_sock, meta, blob)
@@ -231,7 +294,7 @@ class StageWorker:
             # canceled-batch skip, llama.cpp:5627-5628)
             self._send_q.put(({"t": "act", "run": rid, "dead": True}, None))
             return
-        x = _unpack_arrays(ameta["arrays"], ablob)["x"]
+        x = _wire_uncast(_unpack_arrays(ameta["arrays"], ablob)["x"])
         dbg = os.environ.get("PIPEINFER_DCN_DEBUG_DIR")
         if dbg:  # per-stage run dumps (the counterpart of per-rank LOG files)
             np.savez(os.path.join(dbg, f"worker{self.stage}_run{rid}.npz"),
@@ -283,9 +346,15 @@ class StageWorker:
     # -- main loop -----------------------------------------------------------
 
     def serve(self) -> None:
+        if self.bind_host not in ("localhost", "127.0.0.1", "::1") \
+                and not _wire_token():
+            raise RuntimeError(
+                "refusing a non-loopback --bind without PIPEINFER_DCN_TOKEN "
+                "set: any network peer could otherwise drive this worker"
+            )
         lsock = socket.socket()
         lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        lsock.bind(("", self.listen_port))
+        lsock.bind((self.bind_host, self.listen_port))
         lsock.listen(4)
         conns: dict[str, socket.socket] = {}
         ready = threading.Event()
@@ -346,6 +415,10 @@ def worker_main(argv: list[str] | None = None) -> None:
     ap.add_argument("--next", required=True, help="host:port of next stage (or head)")
     ap.add_argument("--n-cells", type=int, default=1024)
     ap.add_argument("--cache-dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--bind", default="localhost",
+                    help="listen address (default localhost; a non-loopback "
+                         "bind for real multi-host runs REQUIRES "
+                         "PIPEINFER_DCN_TOKEN on every peer)")
     args = ap.parse_args(argv)
     import jax
 
@@ -361,6 +434,7 @@ def worker_main(argv: list[str] | None = None) -> None:
         args.model, args.stage, args.n_stages, split,
         args.listen_port, (host, int(port)), n_cells=args.n_cells,
         cache_dtype=jnp.bfloat16 if args.cache_dtype == "bf16" else jnp.float32,
+        bind_host=args.bind,
     ).serve()
 
 
@@ -384,7 +458,7 @@ class RemoteStagedContext(StagedInferenceContext):
     def __init__(self, params, cfg, *, workers: Sequence[tuple[str, int]],
                  split: Sequence[float] | None = None, n_cells: int = 1024,
                  cache_dtype=None, head_port: int = 0,
-                 connect_timeout: float = 900.0):
+                 connect_timeout: float = 900.0, head_bind: str = "localhost"):
         import jax
         import jax.numpy as jnp
 
@@ -420,10 +494,12 @@ class RemoteStagedContext(StagedInferenceContext):
                       cache_dtype or jnp.bfloat16), dev)]
         self._init_host_state(n_cells)
 
-        # listen for the last worker's logits stream
+        # listen for the last worker's logits stream (loopback by default;
+        # real multi-host heads pass head_bind + PIPEINFER_DCN_TOKEN)
+        self._head_bind = head_bind
         self._lsock = socket.socket()
         self._lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
-        self._lsock.bind(("", head_port))
+        self._lsock.bind((head_bind, head_port))
         self._lsock.listen(2)
         self.head_addr = ("localhost", self._lsock.getsockname()[1])
 
@@ -435,13 +511,22 @@ class RemoteStagedContext(StagedInferenceContext):
         # data stream to worker 1 (stage-0 activations out)
         w0 = workers[0]
         self._data_out = _connect_retry((w0[0], w0[1]), "data", connect_timeout)
-        # accept the logits connection from the LAST worker
+        # accept the logits connection from the LAST worker (authenticated:
+        # an unauthenticated peer could inject logits into generation)
         self._lsock.settimeout(connect_timeout)
-        self._logits_sock, _ = self._lsock.accept()
+        deadline = time.monotonic() + connect_timeout
+        while True:
+            self._logits_sock, _ = self._lsock.accept()
+            self._logits_sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+            hello, _ = recv_msg(self._logits_sock)
+            if hello.get("role") == "logits" and _check_hello(
+                hello, bind_host=head_bind
+            ):
+                break
+            self._logits_sock.close()
+            if time.monotonic() > deadline:
+                raise TimeoutError("no authenticated logits connection")
         self._lsock.settimeout(None)
-        self._logits_sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        hello, _ = recv_msg(self._logits_sock)
-        assert hello["role"] == "logits", hello
         for wi, c in enumerate(self._ctrl):
             meta, _ = recv_msg(c)
             assert meta["t"] == "ready", meta
@@ -466,8 +551,12 @@ class RemoteStagedContext(StagedInferenceContext):
         self._hot = 0
         import concurrent.futures as _cf
 
-        # single-thread sender: fetch order == dispatch order on the wire
+        # single-thread sender: fetch order == dispatch order on the wire.
+        # The high-water semaphore bounds queued ship closures (each pins a
+        # device activation): a stalled worker backpressures decode_async
+        # instead of growing host memory without limit
         self._send_pool = _cf.ThreadPoolExecutor(max_workers=1)
+        self._ship_slots = threading.BoundedSemaphore(StageWorker.SEND_HIGH_WATER)
         # each in-flight run's eager fetch parks a worker on the result
         # queue until its logits frame lands — size for deep pipelines
         self._fetch_pool = _cf.ThreadPoolExecutor(max_workers=8)
@@ -544,10 +633,14 @@ class RemoteStagedContext(StagedInferenceContext):
             self._pending[rid] = result_q
 
         def ship(_x=x, _rid=rid):
-            host = np.asarray(_x)
-            am, bl = _pack_arrays({"x": host})
-            send_msg(self._data_out, {"t": "act", "run": _rid, "arrays": am}, bl)
+            try:
+                host = _wire_cast(np.asarray(_x))  # bf16 inter-stage wire
+                am, bl = _pack_arrays({"x": host})
+                send_msg(self._data_out, {"t": "act", "run": _rid, "arrays": am}, bl)
+            finally:
+                self._ship_slots.release()
 
+        self._ship_slots.acquire()  # backpressure: bounded in-flight ships
         self._send_pool.submit(ship)
 
         def fetch(_n=n, _t0=t0, _topk=topk, _q=result_q, _isdecode=(n <= 2)):
@@ -705,12 +798,21 @@ def launch_local_cluster(model_path: str, n_stages: int, *,
 
     platform is FORCED into the workers' JAX_PLATFORMS (this image exports
     JAX_PLATFORMS=axon globally; inheriting it silently moves 'CPU test'
-    workers onto the TPU, whose f32 matmuls run bf16 passes)."""
+    workers onto the TPU, whose f32 matmuls run bf16 passes).
+
+    A per-cluster shared secret is generated (unless PIPEINFER_DCN_TOKEN
+    is already set) and exported to every worker AND this process, so the
+    hello handshake authenticates even on loopback."""
+    import secrets
+
+    token = os.environ.get("PIPEINFER_DCN_TOKEN") or secrets.token_hex(16)
+    os.environ["PIPEINFER_DCN_TOKEN"] = token
     ports = [_free_port() for _ in range(n_stages - 1)]
     head_port = _free_port()
     procs = []
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = platform
+    env["PIPEINFER_DCN_TOKEN"] = token
     env["PYTHONPATH"] = os.pathsep.join(
         [str(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))]
         + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
