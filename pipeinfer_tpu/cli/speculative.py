@@ -44,6 +44,13 @@ def main(argv=None):
     add_sampling_args(p)
     add_spec_args(p)
     p.add_argument("--sync", action="store_true", help="lock-step baseline (speculative_orig)")
+    p.add_argument("--device-loop", action="store_true",
+                   help="device-resident speculative loop: R rounds per "
+                   "dispatch with ON-DEVICE verification (single-chip fast "
+                   "engine; greedy or stateless temp/top-k/top-p chains "
+                   "only — falls back to the async controller otherwise)")
+    p.add_argument("--loop-rounds", type=int, default=8,
+                   help="speculative rounds per device-loop dispatch")
     p.add_argument("--stages", type=int, default=1,
                    help="pipeline the target over N stage devices (the full "
                    "PipeInfer topology; the draft stays on one device)")
@@ -112,7 +119,24 @@ def main(argv=None):
         engine.generate(ids, args.n_predict, ignore_eos=args.ignore_eos, stream=stream)
         stats = engine.stats
         metrics = None
-    else:
+    elif args.device_loop:
+        from ..spec import device_loop as dl
+
+        if args.stages > 1 or not dl.supported(sampling, grammar):
+            print("warning: --device-loop unsupported for this config "
+                  "(multi-stage target / stateful sampler chain); using "
+                  "the async controller", file=sys.stderr)
+            args.device_loop = False
+        else:
+            engine = dl.DeviceLoopEngine(
+                ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id,
+                rounds=args.loop_rounds,
+            )
+            engine.generate(ids, args.n_predict, ignore_eos=args.ignore_eos,
+                            stream=stream)
+            stats = engine.stats
+            metrics = None
+    if not args.sync and not args.device_loop:
         engine = PipeInferController(
             ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id, grammar=grammar
         )

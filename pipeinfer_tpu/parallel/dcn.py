@@ -603,11 +603,11 @@ class RemoteStagedContext(StagedInferenceContext):
         n = len(batch)
         t_pad = _bucket(n)
         cells = self.find_cells(n)
-        tokens, pos, seq, seq_bits, cell_idx, valid, mask64 = pack_batch(
+        tokens, pos, seq, seq_bits, cell_idx, valid, seq_rows = pack_batch(
             batch, t_pad, self.trash_cell, cells
         )
         self.h_pos[cells] = batch.pos
-        self.h_seq[cells] = mask64
+        self.h_seq[cells] = seq_rows
         self._refresh_hot_remote()
 
         rid = self._next_run
@@ -729,7 +729,7 @@ class RemoteStagedContext(StagedInferenceContext):
         # remote side receives the resolved cell list (the head owns the
         # metadata mirror; stages share identical cell indexing)
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, seq_id)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
         cells = np.nonzero(hit)[0]
         if len(cells):

@@ -127,7 +127,7 @@ class StagedInferenceContext:
         import threading as _th
 
         self.h_pos = np.full(n_cells, -1, np.int64)
-        self.h_seq = np.zeros(n_cells, np.uint64)
+        self.h_seq = kv.host_seq_zeros(n_cells)
         self.trash_cell = n_cells - 1
         self._time_lock = _th.Lock()
         self.t_eval = 0.0
@@ -160,11 +160,11 @@ class StagedInferenceContext:
         n = len(batch)
         t_pad = _bucket(n)
         cells = self.find_cells(n)
-        tokens, pos, seq, seq_bits, cell_idx, valid, mask64 = pack_batch(
+        tokens, pos, seq, seq_bits, cell_idx, valid, seq_rows = pack_batch(
             batch, t_pad, self.trash_cell, cells
         )
         self.h_pos[cells] = batch.pos
-        self.h_seq[cells] = mask64
+        self.h_seq[cells] = seq_rows
         self._refresh_hot()
 
         x = tokens
@@ -246,18 +246,18 @@ class StagedInferenceContext:
         for i in range(len(self.caches)):
             self.caches[i] = _jit_rm(self.caches[i], seq_id, p0, p1)
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, seq_id)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
-        self.h_seq[hit] &= ~(np.uint64(1) << np.uint64(seq_id))
-        self.h_pos[self.h_seq == 0] = -1
+        kv.host_clear(self.h_seq, seq_id, hit)
+        self.h_pos[kv.host_empty(self.h_seq)] = -1
 
     def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1):
         for i in range(len(self.caches)):
             self.caches[i] = _jit_cp(self.caches[i], src, dst, p0, p1)
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(src) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, src)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
-        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
+        kv.host_set(self.h_seq, dst, hit)
 
     def rm_tail(self, p0: int):
         """Free every cell at pos >= p0 on ALL sequences (the reference's
@@ -275,8 +275,9 @@ class StagedInferenceContext:
 
         for i in range(len(self.caches)):
             self.caches[i] = _jit_seq_keep(self.caches[i], seq_id)
-        keep = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
-        self.h_seq[:] = np.where(keep, np.uint64(1) << np.uint64(seq_id), np.uint64(0))
+        keep = kv.host_member(self.h_seq, seq_id)
+        self.h_seq[:] = 0
+        self.h_seq[keep] = kv.host_only(seq_id)
         self.h_pos[~keep] = -1
 
     def seq_shift(self, seq_id: int, p0: int, p1: int, delta: int):
@@ -286,7 +287,7 @@ class StagedInferenceContext:
         from ..runtime.context import _jit_shift_cells
 
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, seq_id)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
         cells = np.nonzero(hit)[0]
         if len(cells):
@@ -391,12 +392,11 @@ class StagedInferenceContext:
                 self.caches[i], np.int32(src), np.asarray(seqs, np.int32), np.int32(p1)
             )
         for sq in seqs:
-            self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
-        self.h_pos[self.h_seq == 0] = -1
-        src_bit = np.uint64(1) << np.uint64(src)
-        hit = ((self.h_seq & src_bit) != 0) & (self.h_pos >= 0) & (self.h_pos < p1)
+            kv.host_clear(self.h_seq, sq)
+        self.h_pos[kv.host_empty(self.h_seq)] = -1
+        hit = kv.host_member(self.h_seq, src) & (self.h_pos >= 0) & (self.h_pos < p1)
         for sq in seqs:
-            self.h_seq[hit] |= np.uint64(1) << np.uint64(sq)
+            kv.host_set(self.h_seq, sq, hit)
 
     def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int, dst: int = 0):
         from ..runtime.context import _jit_consolidate
@@ -406,12 +406,11 @@ class StagedInferenceContext:
                 self.caches[i], np.int32(win_seq), np.asarray(branch_seqs, np.int32),
                 np.int32(p0), np.int32(p1), np.int32(dst),
             )
-        win_bit = np.uint64(1) << np.uint64(win_seq)
-        hit = ((self.h_seq & win_bit) != 0) & (self.h_pos >= p0) & (self.h_pos < p1)
-        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
+        hit = kv.host_member(self.h_seq, win_seq) & (self.h_pos >= p0) & (self.h_pos < p1)
+        kv.host_set(self.h_seq, dst, hit)
         for sq in branch_seqs:
-            self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
-        self.h_pos[self.h_seq == 0] = -1
+            kv.host_clear(self.h_seq, sq)
+        self.h_pos[kv.host_empty(self.h_seq)] = -1
 
     def print_timings(self, log=print):
         InferenceContext.print_timings(self, log)  # same counters

@@ -132,13 +132,9 @@ def pack_batch(batch: "Batch", t_pad: int, trash_cell: int, cells: np.ndarray):
 
     Shared by every decode engine (single-device, staged, remote staged);
     padding rows write to the trash cell. Returns
-    (tokens, pos, seq, seq_bits, cell_idx, valid, mask64) — mask64 is the
-    per-token uint64 seq bitmask for the host mirrors.
-
-    The uint64 mirror math (here, in every context's h_seq, and in
-    fused.launch) assumes SEQ_WORDS == 2; widening the device bitmask also
-    requires generalizing these."""
-    assert kv.SEQ_WORDS == 2, "host seq mirrors are uint64 (64 slots); see docstring"
+    (tokens, pos, seq, seq_bits, cell_idx, valid, seq_rows) — seq_rows is
+    the per-token [n, SEQ_WORDS] membership for the host mirrors (the same
+    layout as the device bitmask; see kv.host_* helpers)."""
     n = len(batch)
     tokens = np.zeros(t_pad, np.int32)
     pos = np.zeros(t_pad, np.int32)
@@ -149,15 +145,11 @@ def pack_batch(batch: "Batch", t_pad: int, trash_cell: int, cells: np.ndarray):
     tokens[:n] = batch.tokens
     pos[:n] = batch.pos
     seq[:n] = [s[0] for s in batch.seqs]
-    mask64 = np.zeros(n, np.uint64)
-    for i, slist in enumerate(batch.seqs):
-        for s in slist:
-            mask64[i] |= np.uint64(1) << np.uint64(s)
-    seq_bits[:n, 0] = (mask64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    seq_bits[:n, 1] = (mask64 >> np.uint64(32)).astype(np.uint32)
+    seq_rows = kv.host_rows(batch.seqs)
+    seq_bits[:n] = seq_rows
     cell_idx[:n] = cells
     valid[:n] = True
-    return tokens, pos, seq, seq_bits, cell_idx, valid, mask64
+    return tokens, pos, seq, seq_bits, cell_idx, valid, seq_rows
 
 
 class InferenceContext:
@@ -200,7 +192,7 @@ class InferenceContext:
             self.cache = cache
         # host mirrors for allocation (last cell reserved as padding trash)
         self.h_pos = np.full(n_cells, -1, np.int64)
-        self.h_seq = np.zeros(n_cells, np.uint64)
+        self.h_seq = kv.host_seq_zeros(n_cells)
         self.trash_cell = n_cells - 1
         self._step_cache: dict[int, Callable] = {}
         # eager-fetch workers: host transfers start at dispatch and OVERLAP
@@ -271,7 +263,7 @@ class InferenceContext:
 
         cells = self.find_cells(depth)
         self.h_pos[cells] = pos0 + np.arange(depth)
-        self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
+        self.h_seq[cells] = kv.host_only(seq_id)
         self._refresh_hot()
         fn = self._chain_fn(depth, n_cand, samp)
         if not isinstance(root_token, jax.Array):
@@ -452,13 +444,13 @@ class InferenceContext:
             raise ValueError("empty batch")
         t_pad = _bucket(n)
         cells = self.find_cells(n)
-        tokens, pos, seq, seq_bits, cell_idx, valid, mask64 = pack_batch(
+        tokens, pos, seq, seq_bits, cell_idx, valid, seq_rows = pack_batch(
             batch, t_pad, self.trash_cell, cells
         )
 
         # host mirror update
         self.h_pos[cells] = batch.pos
-        self.h_seq[cells] = mask64
+        self.h_seq[cells] = seq_rows
         self._refresh_hot()
 
         step = self._step_fn(t_pad, topk)
@@ -515,7 +507,7 @@ class InferenceContext:
         valid = np.zeros(t_pad, bool)
         valid[:t] = True
         self.h_pos[cells] = pos[:t]
-        self.h_seq[cells] = np.uint64(1) << np.uint64(seq_id)
+        self.h_seq[cells] = kv.host_only(seq_id)
         self._refresh_hot()
         step = _shared_step_embd(self._forward, self.cfg)
         out, self.cache = step(self.params, self.cache, x, pos, seq, cell_idx, valid)
@@ -529,17 +521,17 @@ class InferenceContext:
     def seq_rm(self, seq_id: int, p0: int = 0, p1: int = -1):
         self.cache = _jit_seq_rm(self.cache, seq_id, p0, p1)
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, seq_id)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
-        self.h_seq[hit] &= ~(np.uint64(1) << np.uint64(seq_id))
-        self.h_pos[self.h_seq == 0] = -1
+        kv.host_clear(self.h_seq, seq_id, hit)
+        self.h_pos[kv.host_empty(self.h_seq)] = -1
 
     def seq_cp(self, src: int, dst: int, p0: int = 0, p1: int = -1):
         self.cache = _jit_seq_cp(self.cache, src, dst, p0, p1)
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(src) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, src)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
-        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
+        kv.host_set(self.h_seq, dst, hit)
 
     def rm_tail(self, p0: int):
         """Free every cell at pos >= p0 on ALL sequences (the reference's
@@ -551,8 +543,9 @@ class InferenceContext:
 
     def seq_keep(self, seq_id: int):
         self.cache = _jit_seq_keep(self.cache, seq_id)
-        keep = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
-        self.h_seq[:] = np.where(keep, np.uint64(1) << np.uint64(seq_id), np.uint64(0))
+        keep = kv.host_member(self.h_seq, seq_id)
+        self.h_seq[:] = 0
+        self.h_seq[keep] = kv.host_only(seq_id)
         self.h_pos[~keep] = -1
 
     def seq_shift(self, seq_id: int, p0: int, p1: int, delta: int):
@@ -561,7 +554,7 @@ class InferenceContext:
         re-ropes, and scatters ONLY those (ref: the reference's lazy
         per-range K_shift llama.cpp:3495-3544 — not a full-cache rope)."""
         hp1 = np.iinfo(np.int64).max if p1 < 0 else p1
-        hit = (self.h_seq >> np.uint64(seq_id) & np.uint64(1)).astype(bool)
+        hit = kv.host_member(self.h_seq, seq_id)
         hit &= (self.h_pos >= p0) & (self.h_pos < hp1)
         cells = np.nonzero(hit)[0]
         if len(cells):
@@ -593,13 +586,11 @@ class InferenceContext:
                 self.cache, np.int32(src), np.asarray(seqs, np.int32), np.int32(p1)
             )
         for sq in seqs:
-            bit = np.uint64(1) << np.uint64(sq)
-            self.h_seq &= ~bit
-        self.h_pos[self.h_seq == 0] = -1
-        src_bit = np.uint64(1) << np.uint64(src)
-        hit = ((self.h_seq & src_bit) != 0) & (self.h_pos >= 0) & (self.h_pos < p1)
+            kv.host_clear(self.h_seq, sq)
+        self.h_pos[kv.host_empty(self.h_seq)] = -1
+        hit = kv.host_member(self.h_seq, src) & (self.h_pos >= 0) & (self.h_pos < p1)
         for sq in seqs:
-            self.h_seq[hit] |= np.uint64(1) << np.uint64(sq)
+            kv.host_set(self.h_seq, sq, hit)
 
     def consolidate(self, win_seq: int, branch_seqs: list[int], p0: int, p1: int, dst: int = 0):
         """Fused: share win_seq's cells [p0, p1) with the committed sequence
@@ -608,12 +599,11 @@ class InferenceContext:
             self.cache, np.int32(win_seq), np.asarray(branch_seqs, np.int32),
             np.int32(p0), np.int32(p1), np.int32(dst),
         )
-        win_bit = np.uint64(1) << np.uint64(win_seq)
-        hit = ((self.h_seq & win_bit) != 0) & (self.h_pos >= p0) & (self.h_pos < p1)
-        self.h_seq[hit] |= np.uint64(1) << np.uint64(dst)
+        hit = kv.host_member(self.h_seq, win_seq) & (self.h_pos >= p0) & (self.h_pos < p1)
+        kv.host_set(self.h_seq, dst, hit)
         for sq in branch_seqs:
-            self.h_seq &= ~(np.uint64(1) << np.uint64(sq))
-        self.h_pos[self.h_seq == 0] = -1
+            kv.host_clear(self.h_seq, sq)
+        self.h_pos[kv.host_empty(self.h_seq)] = -1
 
     def clear_cache(self):
         self.cache = kv.clear(self.cache)

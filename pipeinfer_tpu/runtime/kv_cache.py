@@ -34,13 +34,73 @@ from ..ops.layers import apply_rope
 # Sequence-slot ceiling: 32*SEQ_WORDS concurrent slots. The reference keeps
 # a 1000-entry seq-offset pool (speculative.cpp:140-145) because its cells
 # store arbitrary-size seq-id SETS; here membership is a fixed bitmask so
-# the mask fits device registers and seq ops stay O(cells). 64 slots carry
-# ~16 concurrent speculative streams at the default stride (spec/multi.py
-# carves per-request namespaces); raising SEQ_WORDS widens the DEVICE
-# formats (masks are [C, SEQ_WORDS], +4 bytes/cell/word) but also requires
-# generalizing the uint64 HOST mirrors (context.pack_batch asserts this).
-SEQ_WORDS = 2  # up to 64 concurrent sequence slots
+# the mask fits device registers and seq ops stay O(cells). The default
+# 2 words (64 slots) carry ~16 concurrent speculative streams at the
+# default stride (spec/multi.py carves per-request namespaces); set
+# PIPEINFER_SEQ_WORDS to widen — masks are [C, SEQ_WORDS] on device AND in
+# the host mirrors (+4 bytes/cell/word), and every mirror op goes through
+# the host_* helpers below, so no code change is needed.
+import os as _os
+
+SEQ_WORDS = max(1, int(_os.environ.get("PIPEINFER_SEQ_WORDS", "2")))
 MASK_VALUE = -1e9  # additive mask (finite to avoid exp(-inf - -inf) NaN)
+
+
+# -- host-mirror helpers ------------------------------------------------------
+# The allocation mirrors in runtime.context / parallel.stages keep a numpy
+# copy of the seq bitmask as [C, SEQ_WORDS] uint32 (same layout as the
+# device array). All bit math lives here so SEQ_WORDS stays a config knob.
+
+
+def host_seq_zeros(n_cells: int):
+    import numpy as _np
+
+    return _np.zeros((n_cells, SEQ_WORDS), _np.uint32)
+
+
+def host_only(seq_id: int):
+    """A single-membership row [SEQ_WORDS] for seq_id."""
+    import numpy as _np
+
+    row = _np.zeros(SEQ_WORDS, _np.uint32)
+    row[seq_id // 32] = _np.uint32(1) << _np.uint32(seq_id % 32)
+    return row
+
+
+def host_rows(seq_lists):
+    """Membership rows [n, SEQ_WORDS] for a list of seq-id lists."""
+    import numpy as _np
+
+    rows = _np.zeros((len(seq_lists), SEQ_WORDS), _np.uint32)
+    for i, seqs in enumerate(seq_lists):
+        for s in seqs:
+            rows[i, s // 32] |= _np.uint32(1) << _np.uint32(s % 32)
+    return rows
+
+
+def host_member(h_seq, seq_id: int):
+    """bool [C]: which mirror rows contain seq_id."""
+    import numpy as _np
+
+    return (h_seq[:, seq_id // 32]
+            & (_np.uint32(1) << _np.uint32(seq_id % 32))) != 0
+
+
+def host_set(h_seq, seq_id: int, where):
+    import numpy as _np
+
+    h_seq[where, seq_id // 32] |= _np.uint32(1) << _np.uint32(seq_id % 32)
+
+
+def host_clear(h_seq, seq_id: int, where=slice(None)):
+    import numpy as _np
+
+    h_seq[where, seq_id // 32] &= ~(_np.uint32(1) << _np.uint32(seq_id % 32))
+
+
+def host_empty(h_seq):
+    """bool [C]: rows with no memberships left."""
+    return ~h_seq.any(axis=1)
 
 
 @jax.tree_util.register_pytree_node_class

@@ -40,7 +40,7 @@ def state_arrays(ctx: InferenceContext) -> dict[str, np.ndarray]:
         "pos": np.asarray(c.pos),
         "seq": np.asarray(c.seq),
         "h_pos": ctx.h_pos,
-        "h_seq": ctx.h_seq.view(np.int64),
+        "h_seq": ctx.h_seq,  # [C, SEQ_WORDS] uint32
     }
 
 
@@ -86,5 +86,19 @@ def load_state(ctx: InferenceContext, path: str | Path) -> list[int] | None:
             seq=jnp.asarray(z["seq"], jnp.uint32),
         )
         ctx.h_pos = z["h_pos"].copy()
-        ctx.h_seq = z["h_seq"].view(np.uint64).copy()
+        h_seq = z["h_seq"]
+        if h_seq.ndim == 1:  # legacy uint64-scalar mirror (SEQ_WORDS == 2)
+            h_seq = h_seq.view(np.uint64)
+            words = np.zeros((h_seq.shape[0], kv.SEQ_WORDS), np.uint32)
+            words[:, 0] = (h_seq & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            if kv.SEQ_WORDS > 1:
+                words[:, 1] = (h_seq >> np.uint64(32)).astype(np.uint32)
+            ctx.h_seq = words
+        else:
+            if h_seq.shape[1] != kv.SEQ_WORDS:
+                raise ValueError(
+                    f"{path}: session saved with SEQ_WORDS={h_seq.shape[1]}, "
+                    f"runtime has {kv.SEQ_WORDS}"
+                )
+            ctx.h_seq = h_seq.astype(np.uint32).copy()
         return z["tokens"].tolist() if "tokens" in z else None

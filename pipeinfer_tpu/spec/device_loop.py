@@ -216,7 +216,7 @@ class DeviceLoopEngine:
         # first-fit allocator and the hot bucket stay correct (the true
         # positions land within [hint, hint + n)); reconciled after fetch
         ctx.h_pos[cells] = base_pos_hint + np.arange(n)
-        ctx.h_seq[cells] = np.uint64(1)
+        ctx.h_seq[cells] = kv.host_only(0)
         ctx._refresh_hot()
         return cells
 
@@ -261,6 +261,22 @@ class DeviceLoopEngine:
         MAX_INFLIGHT = 2
         host_base = base  # true committed frontier (reconciled per fetch)
 
+        # pin the hot bucket ONCE for the whole generation: the loop's peak
+        # cell usage is known up front, and letting _refresh_hot cross a
+        # bucket boundary mid-generation would swap in a second compiled
+        # variant (a warm deserialization costs ~1s in the decode's
+        # critical path). dispatch() below therefore skips _refresh_hot.
+        peak = base + n_predict + MAX_INFLIGHT * R * (2 * depth + 1) + 1
+        for ctx in (self.tgt, self.dft):
+            pool = ctx.trash_cell + 1
+            hot = 512
+            while hot < min(peak, pool):
+                hot *= 2
+            if pool <= 512 or hot >= pool:
+                hot = 0  # stream the whole pool
+            if ctx.cache.hot != hot:
+                ctx.cache = dataclasses.replace(ctx.cache, hot=hot)
+
         def dispatch() -> bool:
             nonlocal root_dev, base_dev, key_i
             try:
@@ -270,11 +286,12 @@ class DeviceLoopEngine:
                 return False
             hint = host_base + len(inflight) * R * (depth + 1)
             self.dft.h_pos[dcells.reshape(-1)] = hint + np.arange(R * depth)
-            self.dft.h_seq[dcells.reshape(-1)] = np.uint64(1)
+            self.dft.h_seq[dcells.reshape(-1)] = kv.host_only(0)
             self.tgt.h_pos[tcells.reshape(-1)] = hint + np.arange(R * (depth + 1))
-            self.tgt.h_seq[tcells.reshape(-1)] = np.uint64(1)
-            self.dft._refresh_hot()
-            self.tgt._refresh_hot()
+            self.tgt.h_seq[tcells.reshape(-1)] = kv.host_only(0)
+            # hot stays at the per-generation pin (see above): no
+            # _refresh_hot here, or a smaller runtime bucket would swap
+            # executables mid-decode
             extra = ()
             if self.sampling.temp > 0:
                 extra = (jax.random.PRNGKey((self._seed or 0) * 9176 + key_i),)
@@ -291,8 +308,14 @@ class DeviceLoopEngine:
 
         stop = False
         while not stop:
-            want_more = len(generated) < n_predict + 1
-            while len(inflight) < MAX_INFLIGHT and want_more:
+            while len(inflight) < MAX_INFLIGHT and (
+                # don't over-dispatch: if the in-flight packs' UPPER BOUND
+                # already covers the remaining tokens, wait for evidence
+                # (an extra pack is pure tail waste that the drain would
+                # otherwise sit behind on the device queue)
+                len(generated) + len(inflight) * R * (depth + 1) < n_predict
+                or not inflight
+            ):
                 if not dispatch():
                     break
             if not inflight:
@@ -329,9 +352,11 @@ class DeviceLoopEngine:
                     self.stats.n_drafted_unverified += tail
                     break
 
-        # drain: discard any still-inflight packs (tail waste) and free cells
+        # drain: discard any still-inflight packs (tail waste) and free
+        # their cells WITHOUT waiting on the fetch — the device work is
+        # unabortable but nothing here needs its result, and the final
+        # rm_tail below is queued behind it in device order anyway
         for fut, dcells, tcells in inflight:
-            fut.result()
             self._reclaim(self.dft, dcells.reshape(-1), keep=0, base=0)
             self._reclaim(self.tgt, tcells.reshape(-1), keep=0, base=0)
             self.stats.n_drafted += R * depth
@@ -351,6 +376,6 @@ class DeviceLoopEngine:
         flat = np.asarray(cells).reshape(-1)
         if keep:
             ctx.h_pos[flat[:keep]] = base + np.arange(keep)
-            ctx.h_seq[flat[:keep]] = np.uint64(1)
+            ctx.h_seq[flat[:keep]] = kv.host_only(0)
         ctx.h_pos[flat[keep:]] = -1
         ctx.h_seq[flat[keep:]] = 0

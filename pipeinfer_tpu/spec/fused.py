@@ -78,22 +78,20 @@ def launch(
     handle.fetch() -> (target SparseLogits list, chain tokens list).
     next_root_dev is the last chain token as a device scalar for chaining
     the next run without a host sync."""
-    mask64 = np.uint64(1) << np.uint64(offset)
+    seq_row = kv.host_only(offset)
 
     dcells = dft.find_cells(depth)
     dft.h_pos[dcells] = (spec_base - 1) + np.arange(depth)
-    dft.h_seq[dcells] = mask64
+    dft.h_seq[dcells] = seq_row
 
     tcells = tgt.find_cells(depth)
     tpos = (spec_base + np.arange(depth)).astype(np.int32)
     tgt.h_pos[tcells] = tpos
-    tgt.h_seq[tcells] = mask64
+    tgt.h_seq[tcells] = seq_row
     dft._refresh_hot()
     tgt._refresh_hot()
     tseq = np.full(depth, offset, np.int32)
-    seq_bits = np.zeros((depth, kv.SEQ_WORDS), np.uint32)
-    seq_bits[:, 0] = np.uint32(mask64 & np.uint64(0xFFFFFFFF))
-    seq_bits[:, 1] = np.uint32(mask64 >> np.uint64(32))
+    seq_bits = np.broadcast_to(seq_row, (depth, kv.SEQ_WORDS)).copy()
 
     fn = _shared_fused_spec(
         dft._forward, dft.cfg, tgt._forward, tgt.cfg, depth, topk, samp

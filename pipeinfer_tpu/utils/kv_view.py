@@ -14,9 +14,11 @@ import numpy as np
 def view(ctx) -> dict:
     """Summarize a context's cache occupancy from the host mirror."""
     used = int((ctx.h_pos >= 0).sum())
+    from ..runtime import kv_cache as kv
+
     seqs = {}
-    for s in range(64):
-        cnt = int(((ctx.h_seq >> np.uint64(s)) & np.uint64(1)).sum())
+    for s in range(32 * kv.SEQ_WORDS):
+        cnt = int(kv.host_member(ctx.h_seq, s).sum())
         if cnt:
             seqs[s] = cnt
     return {
@@ -36,7 +38,9 @@ def dump_seqs(ctx, row_size: int = 64) -> str:
         if ctx.h_pos[i] < 0:
             chars.append(".")
             continue
-        bits = int(ctx.h_seq[i])
+        bits = 0
+        for w in range(ctx.h_seq.shape[1]):
+            bits |= int(ctx.h_seq[i, w]) << (32 * w)
         n = bin(bits).count("1")
         if n > 1:
             chars.append("+")

@@ -96,9 +96,11 @@ def test_fuzz_random_params_and_ticks(target, bad_draft, seed):
     assert got == want, f"seed {seed}: {got} vs {want}"
     assert len(c.free_offsets) == n_offsets, "leaked sequence offsets"
     # every non-committed sequence slot must be fully reclaimed
-    live = np.uint64(0)
-    for sq in range(1, 64):
-        live |= np.uint64((tgt.h_seq >> np.uint64(sq)) & np.uint64(1)).any()
+    from pipeinfer_tpu.runtime import kv_cache as kv
+
+    live = any(
+        kv.host_member(tgt.h_seq, sq).any() for sq in range(1, 32 * kv.SEQ_WORDS)
+    )
     assert not live, "leaked branch cells on the target"
 
 
