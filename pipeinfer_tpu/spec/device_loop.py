@@ -228,13 +228,20 @@ class DeviceLoopEngine:
         loop = self._loop_fn(depth)
         R = self.rounds
 
-        # prefill both models (one batch each); the target's last-row logits
-        # give the first root token
+        # prefill both models (one batch each); the target's last-row
+        # SPARSE pack gives the first root token (a full-vocab f32 fetch is
+        # ~4 MB / ~90 ms on the tunnel; the top-128 pack is enough for both
+        # greedy and the supported stochastic chains). topk=128 matches the
+        # controller's head width, so the step variant is already warm —
+        # a novel topk value would cold-compile for minutes on this
+        # machine's remote compile service. The draft's logits are
+        # discarded (cells only) — dispatch async, never block on it.
+        topk = min(128, self.tgt.cfg.n_vocab)
         b = Batch()
         for i, t in enumerate(prompt_ids):
             b.add(t, i, 0, want_logits=(i == len(prompt_ids) - 1))
-        tlog = self.tgt.decode(b, topk=None)
-        self.dft.decode(b, topk=None)
+        dh = self.dft.decode_async(b, topk=min(128, self.dft.cfg.n_vocab))
+        tlog = self.tgt.decode(b, topk=topk)
         if self.sampling.temp > 0:
             # first token: host sampler over the same chain
             from ..sampling.samplers import SamplerState, sample
@@ -242,7 +249,8 @@ class DeviceLoopEngine:
             hs = SamplerState(params=self.sampling)
             root = int(sample(hs, tlog[-1]))
         else:
-            root = int(np.argmax(tlog[-1]))
+            root = int(tlog[-1].ids[0])  # sparse pack, ids sorted by value
+        del dh  # draft prefill result intentionally unused
         self.t_prefill = time.perf_counter() - t0
 
         generated = [root]
