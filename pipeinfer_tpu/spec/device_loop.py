@@ -210,16 +210,6 @@ class DeviceLoopEngine:
             depth, self.rounds, dsamp, tsample,
         )
 
-    def _alloc(self, n: int, ctx: InferenceContext, base_pos_hint: int):
-        cells = ctx.find_cells(n)
-        # positions are decided on device; stamp a dense PENDING range so the
-        # first-fit allocator and the hot bucket stay correct (the true
-        # positions land within [hint, hint + n)); reconciled after fetch
-        ctx.h_pos[cells] = base_pos_hint + np.arange(n)
-        ctx.h_seq[cells] = kv.host_only(0)
-        ctx._refresh_hot()
-        return cells
-
     def generate(self, prompt_ids, n_predict, *, ignore_eos=False, stream=None):
         from ..runtime.context import CacheFull
 

@@ -70,6 +70,37 @@ def main():
         if pw.bits == 4:
             check(f"{qtype.name}/k4", pw, "k4")
             check(f"{qtype.name}/i4g", pw, "i4g")
+
+    # TP-sharded i4g on silicon: the packed planes split along output
+    # columns (parallel.tp._stack_qt) and each shard runs the SAME Pallas
+    # kernel inside shard_map. One real chip -> a 1-device 'model' mesh
+    # (the sharded-code path, local shapes halved via a 2-way stack on the
+    # host side being infeasible here; the shard_map wrapping itself is
+    # what this exercises).
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from ..quant import pack as _pack
+    from ..ops.qmatmul import QuantTensor
+
+    w = rng.standard_normal((n, k)).astype(np.float32)
+    pw = _pack.pack_array(w, _pack.GGMLQuantType.Q4_K)
+    qt = to_device(pw, layout="i4g")
+    mesh = Mesh(np.asarray(jax.devices()[:1]), axis_names=("model",))
+    qspec = jax.tree_util.tree_map(lambda _: P(), qt)
+
+    def inner(xs, q):
+        return qmatmul(xs, q, prefer_pallas=True)
+
+    fn = shard_map(inner, mesh=mesh, in_specs=(P(), qspec), out_specs=P(),
+                   check_vma=False)
+    want = x @ np.asarray(dequant_T(qt))
+    got = np.asarray(jax.jit(fn)(x, qt))
+    err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+    ok = err < 0.02
+    results["i4g/tp-shard"] = ok
+    print(f"{'i4g/tp-shard':12s} err={err:.5f} {'OK ' if ok else 'FAIL'} "
+          f"(Pallas i4g inside shard_map on a 'model' mesh)")
+
     if not all(results.values()):
         raise SystemExit(1)
     print("all kernels OK on", dev.platform)

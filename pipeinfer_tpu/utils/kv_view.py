@@ -45,7 +45,8 @@ def dump_seqs(ctx, row_size: int = 64) -> str:
         if n > 1:
             chars.append("+")
         else:
-            chars.append(alphabet[bits.bit_length() - 1])
+            # slots past the alphabet (SEQ_WORDS > 2 widens to 128+) wrap
+            chars.append(alphabet[(bits.bit_length() - 1) % len(alphabet)])
     lines = [
         "".join(chars[i : i + row_size]) for i in range(0, len(chars), row_size)
     ]
