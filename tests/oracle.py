@@ -18,6 +18,15 @@ _SO = Path("/tmp/libggml_quants_oracle.so")
 _lib = None
 
 
+def _scratch_cwd() -> str:
+    """Scratch working directory for reference binaries: speculative_orig
+    appends results.csv and rewrites speculative.log in its cwd
+    (speculative.cpp:693-710) — never let that land in the repo root."""
+    d = Path("/tmp/pipeinfer_oracle_cwd")
+    d.mkdir(exist_ok=True)
+    return str(d)
+
+
 def get_oracle():
     """Compile (once) and load the reference quant kernels; None if unavailable."""
     global _lib
@@ -170,7 +179,7 @@ def ref_generate_greedy(model_gguf: str, prompt_ids: list[int], n: int) -> list[
         return None
     out = subprocess.run(
         [str(binpath), model_gguf, str(n), *(str(t) for t in prompt_ids)],
-        capture_output=True, timeout=600,
+        capture_output=True, timeout=600, cwd=_scratch_cwd(),
     )
     if out.returncode != 0:
         return None
@@ -185,6 +194,7 @@ def ref_tokenize(vocab_gguf: str, texts: list[str], add_bos: bool = True) -> lis
     out = subprocess.run(
         [str(binpath), vocab_gguf, "1" if add_bos else "0"],
         input=inp.encode(), capture_output=True, timeout=300,
+        cwd=_scratch_cwd(),
     )
     lines = out.stdout.decode().strip("\n").split("\n")
     return [[int(x) for x in line.split()] for line in lines]
@@ -299,6 +309,9 @@ def ref_speculative(
             "-c", "512", "--threads", "2",
         ],
         capture_output=True, timeout=900,
+        # the reference binary appends results.csv + speculative.log in its
+        # cwd (speculative.cpp:693-710); keep that out of the repo root
+        cwd=_scratch_cwd(),
     )
     text = out.stderr.decode(errors="replace")
     import re
