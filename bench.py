@@ -507,7 +507,12 @@ def main():
                 GREEDY, SpecParams(n_draft=d_depth, adapt_depth=False),
                 eos_id=-1, rounds=rounds,
             )
-            eng.generate(list(prompt), min(n, 3 * CHAIN), ignore_eos=True)  # warm
+            # warm with the FULL n: the engine pins its KV hot bucket from
+            # the generation's peak cell count, so a shorter warm run would
+            # compile a smaller bucket and the timed run would swap in a
+            # cold executable mid-decode (measured: a ~15 s deserialize
+            # landed inside the timed region at n=256)
+            eng.generate(list(prompt), n, ignore_eos=True)  # warm
             eng2 = DeviceLoopEngine(
                 InferenceContext(tparams, tcfg, n_cells=cells),
                 InferenceContext(dp, dc, n_cells=cells),
@@ -592,6 +597,31 @@ def main():
             f"{multi_dt:.1f}s)")
         multi = {"streams": ns, "aggregate_tokens_per_sec": round(multi_tps, 3),
                  "vs_sequential_single": round(multi_tps / base_tps, 4)}
+
+        # same S requests through the batched device loop (speculation x
+        # batching INSIDE one jitted program, spec/device_multi.py): the
+        # weight stream is shared S ways per chain step
+        from pipeinfer_tpu.spec.device_multi import BatchedDeviceLoop
+
+        dm_depth = 8
+        cells_b = ns * (len(prompt) + n_predict // 2) + 3 * 4 * ns * (dm_depth + 1) + 64
+        for trial in range(2):  # trial 0 warms the batched loop program
+            eng_b = BatchedDeviceLoop(
+                InferenceContext(tparams, tcfg, n_cells=cells_b),
+                InferenceContext(dparams, dcfg, n_cells=cells_b),
+                GREEDY, SpecParams(n_draft=dm_depth, adapt_depth=False),
+                n_streams=ns, eos_id=-1, rounds=4,
+            )
+            outs_b = eng_b.generate_many(
+                [list(prompt)] * ns, n_predict // 2, ignore_eos=True
+            )
+            bdl_dt = eng_b.t_decode
+        n_tok_b = sum(len(o) for o in outs_b)
+        bdl_tps = n_tok_b / bdl_dt
+        log(f"batched device loop ({ns} streams): {bdl_tps:.2f} aggregate "
+            f"tok/s ({n_tok_b} tokens, {bdl_dt:.1f}s)")
+        multi["device_batched_tokens_per_sec"] = round(bdl_tps, 3)
+        multi["device_batched_vs_sequential_single"] = round(bdl_tps / base_tps, 4)
 
     out = {
         "metric": "pipeinfer_decode_tokens_per_sec",

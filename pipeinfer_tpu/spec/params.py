@@ -64,10 +64,21 @@ class SpecParams:
         return tuple(sorted(set(out))) or (self.n_draft,)
 
     def depth_value(self, d: int, accept_ema: float) -> float:
-        """Expected committed tokens per unit run cost at depth d."""
+        """Expected committed tokens per unit run cost at depth d.
+
+        Cost model for the CHAINED async pipeline: a run whose own segment
+        fully matches (prob a^d) hands downstream runs a true frontier; any
+        within-run mismatch invalidates every chained run in flight behind
+        it (~max_inflight-1 runs of the same cost — pure dead device time,
+        see metrics.dead_work_frac). Deep chains therefore pay a survival-
+        weighted kill multiplier on top of their own cost; at high
+        acceptance the multiplier is mild and depth wins, at low acceptance
+        it pushes the policy down the ladder (the fused-run counterpart of
+        the reference's p_accept draft trimming, README.md:191-220)."""
         a = min(max(accept_ema, 0.05), 0.999)
         exp_tokens = 1.0 + a * (1.0 - a**d) / (1.0 - a)
-        return exp_tokens / (self.fixed_cost_steps + d)
+        kill = 1.0 + (1.0 - a**d) * max(self.max_inflight - 1, 0)
+        return exp_tokens / ((self.fixed_cost_steps + d) * kill)
 
     def pick_depth(self, accept_ema: float, current: int | None = None) -> int:
         """Throughput-maximizing rung for the current acceptance estimate.
