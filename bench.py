@@ -113,7 +113,7 @@ def main():
                     help="prompt tokens (prefill cost / TTFT scale with this)")
     ap.add_argument("--no-degraded", action="store_true",
                     help="skip the degraded-draft (eps=0.02, draft=8) row")
-    ap.add_argument("--streams", type=int, default=0,
+    ap.add_argument("--streams", type=int, default=4,
                     help="ALSO measure N concurrent speculative streams "
                          "(MultiPipeInfer; speculation x continuous batching)")
     ap.add_argument("--tgt-gguf", default=None,
@@ -635,13 +635,35 @@ def main():
     if prefill512_s is not None:
         out["prefill512_s"] = round(prefill512_s, 3)
     if degraded:
+        if device_loop_degraded:
+            # the framework has TWO single-chip speculative engines; the
+            # honest-acceptance headline is whichever wins the regime
+            # (on-device verification carries no chain-kill dead work, so
+            # it usually does — the async controller's domain is staged /
+            # multi-chip targets where verification must cross hosts)
+            ctl, dl_ = degraded, device_loop_degraded
+            best, engine = (dl_, "device_loop") if (
+                dl_["tokens_per_sec"] >= ctl["tokens_per_sec"]
+            ) else (ctl, "controller")
+            log(f"degraded-regime engine pick: {engine} "
+                f"({best['tokens_per_sec']:.1f} tok/s)")
+            degraded = {
+                "eps": ctl["eps"], "n_draft": ctl["n_draft"],
+                "engine": engine,
+                "tokens_per_sec": best["tokens_per_sec"],
+                "vs_baseline": best["vs_baseline"],
+                "accept_decided": best["accept_decided"],
+                "dead_work_frac": best.get("dead_work_frac", 0.0),
+                "controller": {k: v for k, v in ctl.items()
+                               if k not in ("eps", "n_draft")},
+                "device_loop": {k: v for k, v in dl_.items()
+                                if k not in ("eps", "n_draft")},
+            }
         out["degraded"] = degraded
     if stochastic:
         out["stochastic"] = stochastic
     if device_loop:
         out["device_loop"] = device_loop
-    if device_loop_degraded:
-        out["device_loop_degraded"] = device_loop_degraded
     if multi:
         out["multi_stream"] = multi
     print(json.dumps(out))

@@ -49,6 +49,14 @@ def main(argv=None):
                    "dispatch with ON-DEVICE verification (single-chip fast "
                    "engine; greedy or stateless temp/top-k/top-p chains "
                    "only — falls back to the async controller otherwise)")
+    p.add_argument("--engine", choices=("auto", "controller", "device-loop", "sync"),
+                   default=None,
+                   help="engine selection; 'auto' picks the device-resident "
+                   "loop whenever its support envelope applies (single-chip "
+                   "target, stateless sampler, no grammar — measured 2.3x "
+                   "the async controller at realistic acceptance) and the "
+                   "async controller otherwise. Default: controller, or "
+                   "whatever --sync/--device-loop request")
     p.add_argument("--loop-rounds", type=int, default=8,
                    help="speculative rounds per device-loop dispatch")
     p.add_argument("--stages", type=int, default=1,
@@ -60,6 +68,12 @@ def main(argv=None):
                    help="print per-cell KV occupancy after generation "
                    "(ref: dump_kv_cache_view_seqs, the rollback debug aid)")
     args = p.parse_args(argv)
+    if args.engine == "sync":
+        args.sync = True
+    elif args.engine == "device-loop":
+        args.device_loop = True
+    elif args.engine == "controller":
+        args.sync = args.device_loop = False
 
     if args.stages > 1:
         import jax
@@ -98,6 +112,16 @@ def main(argv=None):
 
         text = args.grammar or open(args.grammar_file).read()
         grammar = grammar_state_from_gbnf(text, tok)
+    if args.engine == "auto" and not args.sync:
+        from ..spec import device_loop as _dl
+
+        # quiet pick: on-device verification wins whenever it applies
+        # (bench.py degraded row: 2.3x the controller at 91% acceptance);
+        # tree drafting (-np > 1) and staged targets keep the controller
+        args.device_loop = (
+            args.stages == 1 and sp.n_parallel == 1
+            and _dl.supported(sampling, grammar)
+        )
     prompt = read_prompt(args)
     ids = tok.encode(prompt, add_bos=True)
     if not args.no_display_prompt:
@@ -136,6 +160,7 @@ def main(argv=None):
                             stream=stream)
             stats = engine.stats
             metrics = None
+            dl_engine = engine
     if not args.sync and not args.device_loop:
         engine = PipeInferController(
             ctx_tgt, ctx_dft, sampling, sp, eos_id=tok.vocab.eos_id, grammar=grammar
@@ -155,6 +180,12 @@ def main(argv=None):
     if stats.n_drafted_unverified:
         err(f"accept (decided) = {100.0 * stats.accept_rate_decided:.3f}% "
             f"({stats.n_drafted_unverified} drafts never verified)")
+    if args.device_loop:
+        # decode time lives inside the fused loop program — the context's
+        # per-dispatch timings only see the prefill; report the engine's
+        err(f"encode    = {len(ids) / max(dl_engine.t_prefill, 1e-9):.2f} t/s")
+        err(f"decode    = {stats.n_predict / max(dl_engine.t_decode, 1e-9):.2f} t/s "
+            f"(device loop, {stats.n_rounds} rounds)")
     if metrics is not None:
         err(f"runs      = {metrics.n_runs} ({metrics.n_canceled_runs} canceled)")
         err(f"dead work = {100.0 * metrics.dead_work_frac:.1f}% of dispatched tokens")

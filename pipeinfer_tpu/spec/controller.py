@@ -210,6 +210,7 @@ class PipeInferController:
         self.accept_ema = 1.0
         self.depth_counts: dict[int, int] = {}  # fused depth -> runs launched
         self._cur_depth: int | None = None  # current rung (hysteresis state)
+        self._depth_votes: tuple[int, int] | None = None  # (rung, streak)
 
     def _next_fused_seed(self) -> int:
         self._fused_seed += 1
@@ -381,6 +382,19 @@ class PipeInferController:
         # low acceptance burn most of their depth (the reference trims with
         # its per-token p_accept gate; a compiled run picks its rung instead)
         depth = sp.pick_depth(self.accept_ema, self._cur_depth)
+        if self._cur_depth is not None and depth != self._cur_depth:
+            # debounce: a new rung must win sp.depth_debounce consecutive
+            # launches before we pay the executable swap (transient EMA
+            # dips after a single mismatch otherwise flap the rung)
+            rung, streak = self._depth_votes or (depth, 0)
+            streak = streak + 1 if rung == depth else 1
+            if streak < sp.depth_debounce:
+                self._depth_votes = (depth, streak)
+                depth = self._cur_depth
+            else:
+                self._depth_votes = None
+        else:
+            self._depth_votes = None
         self._cur_depth = depth
         self.depth_counts[depth] = self.depth_counts.get(depth, 0) + 1
         # device-side seq prep happens INSIDE the fused program; only the

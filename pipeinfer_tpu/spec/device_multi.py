@@ -232,26 +232,32 @@ class BatchedDeviceLoop:
         loop = self._loop_fn(depth)
 
         t0 = time.perf_counter()
-        # prefill every stream into its own sequence slot; roots from the
-        # target's last-row sparse pack (see device_loop.generate)
+        # prefill ALL streams in one batch per model (each into its own
+        # sequence slot): one draft dispatch (async, KV only) + one target
+        # dispatch + one fetch, instead of S round-trips
         topk = min(128, self.tgt.cfg.n_vocab)
+        bt, bd = Batch(), Batch()
+        for s, prompt in enumerate(prompts):
+            for i, t in enumerate(prompt):
+                last = i == len(prompt) - 1
+                bt.add(t, i, s, want_logits=last)
+                bd.add(t, i, s, want_logits=last)
+        dh = self.dft.decode_async(bd, topk=min(128, self.dft.cfg.n_vocab))
+        rows = self.tgt.decode(bt, topk=topk)  # one row per batch TOKEN
+        del dh
+        ends = np.cumsum([len(p) for p in prompts]) - 1
+        tlogs = [rows[e] for e in ends]  # each stream's last-token row
         streams: list[_Stream] = []
         roots = np.zeros(S, np.int32)
         bases = np.zeros(S, np.int32)
         for s, prompt in enumerate(prompts):
-            b = Batch()
-            for i, t in enumerate(prompt):
-                b.add(t, i, s, want_logits=(i == len(prompt) - 1))
-            dh = self.dft.decode_async(b, topk=min(128, self.dft.cfg.n_vocab))
-            tlog = self.tgt.decode(b, topk=topk)
             if self.sampling.temp > 0:
                 from ..sampling.samplers import SamplerState, sample
 
                 hs = SamplerState(params=self.sampling)
-                root = int(sample(hs, tlog[-1]))
+                root = int(sample(hs, tlogs[s]))
             else:
-                root = int(tlog[-1].ids[0])
-            del dh
+                root = int(tlogs[s].ids[0])
             st = _Stream(prompt_len=len(prompt), n_predict=n_predicts[s],
                          host_base=len(prompt))
             st.tokens.append(root)

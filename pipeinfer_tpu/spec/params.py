@@ -43,6 +43,13 @@ class SpecParams:
     # only switch rungs when the predicted value improves by this factor —
     # hysteresis against executable flapping at rung boundaries
     depth_hysteresis: float = 0.15
+    # a rung change additionally needs this many CONSECUTIVE launches that
+    # prefer the same new rung. The EMA swings on every mismatch/recovery
+    # cycle (one full-depth match pulls it most of the way back to 1.0);
+    # debouncing keeps transient dips from alternating executables —
+    # measured: 17 rung swaps in a 256-token degraded run cost ~45 ms each
+    # and halved throughput (204.8 -> 113.9 tok/s) before this guard
+    depth_debounce: int = 3
     # minimum probability that a chained run's assumed prefix survives
     # verification (accept_ema ** assumed_len) for the pump to launch it —
     # the chain-level counterpart of the reference's p_accept draft gate.
