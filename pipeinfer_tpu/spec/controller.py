@@ -211,6 +211,8 @@ class PipeInferController:
         self.depth_counts: dict[int, int] = {}  # fused depth -> runs launched
         self._cur_depth: int | None = None  # current rung (hysteresis state)
         self._depth_votes: tuple[int, int] | None = None  # (rung, streak)
+        self._ema_version = 0  # bumped per EMA update; votes need fresh EMAs
+        self._voted_version = -1
 
     def _next_fused_seed(self) -> int:
         self._fused_seed += 1
@@ -223,6 +225,7 @@ class PipeInferController:
             return
         w = self.sp.ema_decay ** n_judged
         self.accept_ema = w * self.accept_ema + (1.0 - w) * (n_matched / n_judged)
+        self._ema_version += 1
 
     # -- helpers ------------------------------------------------------------
 
@@ -384,15 +387,21 @@ class PipeInferController:
         depth = sp.pick_depth(self.accept_ema, self._cur_depth)
         if self._cur_depth is not None and depth != self._cur_depth:
             # debounce: a new rung must win sp.depth_debounce consecutive
-            # launches before we pay the executable swap (transient EMA
-            # dips after a single mismatch otherwise flap the rung)
-            rung, streak = self._depth_votes or (depth, 0)
-            streak = streak + 1 if rung == depth else 1
-            if streak < sp.depth_debounce:
-                self._depth_votes = (depth, streak)
+            # FRESH-EMA launches before we pay the executable swap —
+            # transient dips after a single mismatch otherwise flap the
+            # rung, and several launches can read one stale estimate
+            # before the next verify lands (votes per EMA value count once)
+            if self._ema_version == self._voted_version:
                 depth = self._cur_depth
             else:
-                self._depth_votes = None
+                self._voted_version = self._ema_version
+                rung, streak = self._depth_votes or (depth, 0)
+                streak = streak + 1 if rung == depth else 1
+                if streak < sp.depth_debounce:
+                    self._depth_votes = (depth, streak)
+                    depth = self._cur_depth
+                else:
+                    self._depth_votes = None
         else:
             self._depth_votes = None
         self._cur_depth = depth

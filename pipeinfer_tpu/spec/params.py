@@ -38,17 +38,21 @@ class SpecParams:
     # depth switch alternates compiled executables (measured ~30-60 ms per
     # swap on the tunneled runtime).
     fixed_cost_steps: float = 10.0
-    # per-judged-token EMA decay for the acceptance estimate
-    ema_decay: float = 0.9
+    # per-judged-token EMA decay for the acceptance estimate. Keep the
+    # memory at ~25 judged tokens (≈3 full-depth runs): at 0.9 a single
+    # partially-matched verify (w = 0.9^5) dropped the estimate from 1.0
+    # to 0.76 and the depth policy panicked down the ladder for one run
+    ema_decay: float = 0.96
     # only switch rungs when the predicted value improves by this factor —
     # hysteresis against executable flapping at rung boundaries
     depth_hysteresis: float = 0.15
-    # a rung change additionally needs this many CONSECUTIVE launches that
-    # prefer the same new rung. The EMA swings on every mismatch/recovery
-    # cycle (one full-depth match pulls it most of the way back to 1.0);
-    # debouncing keeps transient dips from alternating executables —
-    # measured: 17 rung swaps in a 256-token degraded run cost ~45 ms each
-    # and halved throughput (204.8 -> 113.9 tok/s) before this guard
+    # a rung change additionally needs this many consecutive FRESH-EMA
+    # launches (launches after distinct EMA updates) that prefer the same
+    # new rung. The EMA swings on every mismatch/recovery cycle; several
+    # launches can read one stale dipped estimate before the next verify
+    # lands, so votes against the same EMA value count once — measured:
+    # 17 rung swaps in a 256-token degraded run cost ~45 ms each and
+    # halved throughput (204.8 -> 113.9 tok/s) before this guard
     depth_debounce: int = 3
     # minimum probability that a chained run's assumed prefix survives
     # verification (accept_ema ** assumed_len) for the pump to launch it —
