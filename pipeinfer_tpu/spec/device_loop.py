@@ -199,6 +199,14 @@ class DeviceLoopEngine:
         self.rounds = rounds
         self.stats = SpecStats()
         self._seed = sampling.seed if sampling.seed >= 0 else None
+        # user seed, or real entropy when unseeded (`seed or 0` would alias
+        # seed=0 with unseeded and replay identical Gumbel draws every call)
+        if self._seed is not None:
+            self._seed_base = self._seed
+        else:
+            import os
+
+            self._seed_base = int.from_bytes(os.urandom(4), "little")
 
     def _loop_fn(self, depth: int):
         from . import fused
@@ -292,7 +300,7 @@ class DeviceLoopEngine:
             # executables mid-decode
             extra = ()
             if self.sampling.temp > 0:
-                extra = (jax.random.PRNGKey((self._seed or 0) * 9176 + key_i),)
+                extra = (jax.random.PRNGKey(self._seed_base * 9176 + key_i),)
                 key_i += 1
             pack, root2, base2, self.dft.cache, self.tgt.cache = loop(
                 self.dft.params, self.dft.cache, self.tgt.params, self.tgt.cache,

@@ -210,6 +210,15 @@ class BatchedDeviceLoop:
         self.eos_id = eos_id
         self.rounds = rounds
         self._seed = sampling.seed if sampling.seed >= 0 else None
+        # device PRNG base: the user's seed, or REAL entropy when unseeded —
+        # `(seed or 0)` would alias seed=0 with unseeded AND make unseeded
+        # stochastic runs replay the same Gumbel draws every call
+        if self._seed is not None:
+            self._seed_base = self._seed
+        else:
+            import os
+
+            self._seed_base = int.from_bytes(os.urandom(4), "little")
 
     def _loop_fn(self, depth: int):
         from . import fused
@@ -227,6 +236,12 @@ class BatchedDeviceLoop:
         S, R, depth = self.S, self.rounds, self.sp.n_draft
         if len(prompts) != S:
             raise ValueError(f"need exactly {S} prompts (pad the batch)")
+        for s, p in enumerate(prompts):
+            # an empty prompt would silently read the PREVIOUS stream's
+            # last prefill row (ends = cumsum(lens)-1); fail fast the way
+            # decode() does on an empty batch
+            if len(p) == 0:
+                raise ValueError(f"stream {s}: empty prompt")
         if isinstance(n_predicts, int):
             n_predicts = [n_predicts] * S
         loop = self._loop_fn(depth)
@@ -254,7 +269,14 @@ class BatchedDeviceLoop:
             if self.sampling.temp > 0:
                 from ..sampling.samplers import SamplerState, sample
 
-                hs = SamplerState(params=self.sampling)
+                # fold the stream index into the host root-sampling seed:
+                # seeded runs with identical prompts must not all emit the
+                # same first token (the device keys fold s; the host root
+                # draw has to as well)
+                sp_s = self.sampling
+                if sp_s.seed >= 0:
+                    sp_s = dataclasses.replace(sp_s, seed=sp_s.seed + 1000003 * s)
+                hs = SamplerState(params=sp_s)
                 root = int(sample(hs, tlogs[s]))
             else:
                 root = int(tlogs[s].ids[0])
@@ -320,7 +342,7 @@ class BatchedDeviceLoop:
                 self.tgt.h_seq[tflat] = kv.host_only(s)
             extra = ()
             if self.sampling.temp > 0:
-                extra = (jax.random.PRNGKey((self._seed or 0) * 9176 + key_i),)
+                extra = (jax.random.PRNGKey(self._seed_base * 9176 + key_i),)
                 key_i += 1
             pack, roots2, bases2, self.dft.cache, self.tgt.cache = loop(
                 self.dft.params, self.dft.cache, self.tgt.params, self.tgt.cache,
@@ -353,7 +375,6 @@ class BatchedDeviceLoop:
                 for r in range(R):
                     m = int(host_pack[r, s, depth + 1])
                     st.stats.n_drafted += depth
-                    st.stats.n_accept += m
                     # reconcile mirrors with device truth for EVERY active
                     # stream — the device committed these rounds whether or
                     # not the host has already retired the stream
@@ -362,8 +383,12 @@ class BatchedDeviceLoop:
                     self._reclaim(self.tgt, tcells[r, s], m + 1, st.host_base, s)
                     st.host_base += m + 1
                     if st.done:
+                        # rounds after the stream retired are tail waste:
+                        # counting their m in n_accept would double-dip
+                        # accept_rate_decided (device_loop's convention)
                         st.stats.n_drafted_unverified += depth
                         continue
+                    st.stats.n_accept += m
                     for t in host_pack[r, s, : m + 1].tolist():
                         st.tokens.append(int(t))
                         if len(st.tokens) >= st.n_predict or (

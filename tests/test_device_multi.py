@@ -82,6 +82,13 @@ def test_uneven_lengths_and_early_retirement(models):
     for s, (got, ref, n) in enumerate(zip(outs, refs, nps)):
         assert len(got) == n, f"stream {s} length"
         assert got == ref, f"stream {s} diverged"
+    # rounds committed after a stream retires are tail waste, NOT accepts:
+    # accept_rate_decided must never exceed 1.0 (early-retired stream 0
+    # keeps riding the dispatch with rounds it never consumes)
+    for s, st in enumerate(eng.streams):
+        decided = st.stats.n_drafted - st.stats.n_drafted_unverified
+        assert st.stats.n_accept <= decided, f"stream {s} double-dips accepts"
+        assert 0.0 <= st.stats.accept_rate_decided <= 1.0
 
 
 def test_eos_retires_one_stream(models):
@@ -135,6 +142,45 @@ def test_stochastic_seeded_reproducible(models):
     a, b = run(), run()
     assert a == b
     assert all(len(x) == 10 for x in a)
+
+
+def test_empty_prompt_rejected(models):
+    """An empty prompt would silently mis-index prefill logits (ends =
+    cumsum-1 hands it the previous stream's row) — must fail fast."""
+    tgt, _ = models
+    eng = BatchedDeviceLoop(_ctx(tgt), _ctx(tgt), GREEDY, SpecParams(n_draft=4),
+                            n_streams=3, eos_id=-1, rounds=2)
+    with pytest.raises(ValueError, match="empty prompt"):
+        eng.generate_many([[3, 17], [], [5]], 4, ignore_eos=True)
+
+
+def test_seeded_identical_prompts_diverge_across_streams(models):
+    """Seeded stochastic runs: identical prompts must not all emit the same
+    token stream (the host root draw and device keys fold the stream id)."""
+    tgt, dft = models
+    STOCH = SamplingParams(temp=1.2, top_k=40, penalty_repeat=1.0,
+                           penalty_last_n=0, seed=7)
+    eng = BatchedDeviceLoop(_ctx(tgt), _ctx(dft), STOCH,
+                            SpecParams(n_draft=3), n_streams=3,
+                            eos_id=-1, rounds=2)
+    outs = eng.generate_many([[3, 17, 42]] * 3, 12, ignore_eos=True)
+    assert not (outs[0] == outs[1] == outs[2]), "streams replay one sample path"
+
+
+def test_unseeded_runs_differ(models):
+    """seed=-1 must draw real entropy: two unseeded stochastic runs on the
+    same prompts should not replay identical Gumbel sequences."""
+    tgt, dft = models
+    STOCH = SamplingParams(temp=1.2, top_k=40, penalty_repeat=1.0,
+                           penalty_last_n=0, seed=-1)
+
+    def run():
+        eng = BatchedDeviceLoop(_ctx(tgt), _ctx(dft), STOCH,
+                                SpecParams(n_draft=3), n_streams=3,
+                                eos_id=-1, rounds=2)
+        return eng.generate_many([list(p) for p in PROMPTS], 16, ignore_eos=True)
+
+    assert run() != run()
 
 
 def test_stream_count_guard(models):
