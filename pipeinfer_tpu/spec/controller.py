@@ -45,7 +45,7 @@ import numpy as np
 
 from ..runtime.context import AsyncHandle, Batch, CacheFull, InferenceContext
 from ..sampling.samplers import SamplerState, SamplingParams, sample
-from . import drafting, fused
+from . import corrected, drafting, fused
 from .params import SpecParams
 from .sync_spec import SpecStats, draft_sampler_proto
 
@@ -72,6 +72,11 @@ class AsyncRun:
     # fused run (spec/fused.py): branches[0].tokens is None until the eager
     # fetch lands; handle.fetch() returns (logits, tokens)
     fused: bool = False
+    # device-corrected run (spec/corrected.py): verification happened on
+    # device; handle.fetch() returns (m, committed tokens, sparse rows).
+    # Never canceled (its context is the true frontier by construction).
+    corrected: bool = False
+    corr_cells: tuple | None = None  # (dcells, tcells) for mirror reconcile
 
 
 @dataclasses.dataclass
@@ -192,6 +197,19 @@ class PipeInferController:
         # fused dispatch (one program per run, device-chained roots): see
         # spec/fused.py for eligibility; falls back to host drafting
         self.use_fused = fused.supported(self)
+        # device-corrected chaining supersedes the assume-chained fused
+        # path when the sampler fits the device verifier (spec/corrected.py
+        # — chained runs launch from the TRUE frontier, so cross-run dead
+        # work and cancellation vanish in this regime)
+        self.use_corrected = corrected.supported(self)
+        if self.use_corrected:
+            self.use_fused = False
+        # corrected-chain state: (root, base) device scalars from the
+        # newest launched run; host_base = the OLDEST unretired run's true
+        # root position; hint = host upper bound for the next run's base
+        self._corr_root = None
+        self._corr_base = None
+        self._corr_host_base = 0
         # per-run draft-sampler seeds (stochastic fused runs); derived from
         # the sampling seed so seeded generations are reproducible. seed < 0
         # means "random": draw a real entropy base so distinct engines do
@@ -219,12 +237,34 @@ class PipeInferController:
         return self._fused_seed & 0x7FFFFFFF
 
     def _update_accept_ema(self, n_matched: int, n_judged: int):
-        """Fold one verified run's per-token acceptance into the EMA,
-        weighted by how many drafted tokens were actually judged."""
+        """Fold one verified run's judged tokens into the per-token
+        acceptance EMA as PER-TOKEN folds (closed form of folding each
+        judged token individually, matches first, the mismatch last):
+
+            ema' = d^n * ema + d^(n-m) * (1 - d^m)
+
+        The earlier per-run fold (w = d^n toward the run ratio m/n) gave a
+        full-depth match (n ~ 9, weight 1-d^9) several times the pull of an
+        early mismatch (n = 1, weight 1-d), so runs that survived deep
+        dragged the estimate above the true rate (measured 0.60 at a true
+        50%-acceptance draft). Per-token folds weight every judged token
+        equally in steady state, so the EMA converges to the true
+        per-token acceptance (see test_async_spec EMA-convergence test).
+
+        Canceled runs are deliberately NOT folded: their drafted tokens
+        were produced from an assumed context that later diverged, so
+        comparing them against committed tokens measures draft-vs-target
+        under *mismatched* contexts — contaminated evidence that would
+        bias the estimate toward 0. Their cost (chain kill + dead device
+        work) is what SpecParams.depth_value's kill multiplier models,
+        driven by this (accurate) per-token estimate."""
         if n_judged <= 0:
             return
-        w = self.sp.ema_decay ** n_judged
-        self.accept_ema = w * self.accept_ema + (1.0 - w) * (n_matched / n_judged)
+        d = self.sp.ema_decay
+        self.accept_ema = (
+            d**n_judged * self.accept_ema
+            + d ** (n_judged - n_matched) * (1.0 - d**n_matched)
+        )
         self._ema_version += 1
 
     # -- helpers ------------------------------------------------------------
@@ -376,21 +416,18 @@ class PipeInferController:
             self.spec_base += depth0
         return True
 
-    def _launch_spec_fused(self, offset: int, src_seq: int) -> bool:
-        """One-dispatch speculative run (spec/fused.py): the draft chain and
-        the target verify execute in the same program; the next run chains
-        from a device scalar, so launches never wait on a host fetch."""
+    def _choose_depth(self, corrected_mode: bool = False) -> int:
+        """Acceptance-adaptive fused depth with debounce: a new rung must
+        win sp.depth_debounce consecutive FRESH-EMA launches before we pay
+        the executable swap — transient dips after a single mismatch
+        otherwise flap the rung, and several launches can read one stale
+        estimate before the next verify lands (votes per EMA value count
+        once). The reference trims drafting per token with its p_accept
+        gate (README.md:191-220); a compiled run picks its rung instead."""
         sp = self.sp
-        # depth adapts to observed acceptance: fixed-depth fused chains at
-        # low acceptance burn most of their depth (the reference trims with
-        # its per-token p_accept gate; a compiled run picks its rung instead)
-        depth = sp.pick_depth(self.accept_ema, self._cur_depth)
+        depth = sp.pick_depth(self.accept_ema, self._cur_depth,
+                              corrected=corrected_mode)
         if self._cur_depth is not None and depth != self._cur_depth:
-            # debounce: a new rung must win sp.depth_debounce consecutive
-            # FRESH-EMA launches before we pay the executable swap —
-            # transient dips after a single mismatch otherwise flap the
-            # rung, and several launches can read one stale estimate
-            # before the next verify lands (votes per EMA value count once)
             if self._ema_version == self._voted_version:
                 depth = self._cur_depth
             else:
@@ -405,6 +442,63 @@ class PipeInferController:
         else:
             self._depth_votes = None
         self._cur_depth = depth
+        return depth
+
+    def _launch_corrected(self) -> bool:
+        """Dispatch one device-corrected run chained from the corrected
+        frontier scalars (spec/corrected.py). Returns False on cache
+        backpressure (nothing was allocated)."""
+        depth = self._choose_depth(corrected_mode=True)
+        # mirror-position hint: the true retired frontier plus the in-flight
+        # runs' worst-case advance — re-anchors as fetches reconcile, so the
+        # hot bucket tracks real occupancy, not accumulated overestimates
+        hint = self._corr_host_base + sum(
+            r.n_drafted + 1 for r in self.runs if r.corrected
+        )
+        try:
+            handle, root2, base2, dcells, tcells = corrected.launch(
+                self.dft, self.tgt,
+                root=self._corr_root, base=self._corr_base,
+                seq_id=self.seq_base, depth=depth, topk=self.topk,
+                hint=hint,
+                samp=fused.draft_samp(self.sampling),
+                tsample=self.sampling.temp > 0,
+                seed=self._next_fused_seed(),
+            )
+        except CacheFull:
+            self.n_rejected += 1
+            return False
+        self.depth_counts[depth] = self.depth_counts.get(depth, 0) + 1
+        run = AsyncRun(
+            handle=handle,
+            batch=Batch(),
+            branches=[],
+            base=hint + 1,
+            prefix_base=self.n_committed,
+            assumed_prefix=[],
+            max_decide=1 << 60,  # never stale: device context is the truth
+            dft_base=hint,
+            seq_offset=self.seq_base,
+            speculative=True,
+            n_drafted=depth,
+            corrected=True,
+            corr_cells=(dcells, tcells),
+        )
+        self.runs.append(run)
+        self.metrics.n_runs += 1
+        self.metrics.n_dispatched_tokens += depth
+        self.stats.n_drafted += depth
+        self._corr_root, self._corr_base = root2, base2
+        return True
+
+    def _launch_spec_fused(self, offset: int, src_seq: int) -> bool:
+        """One-dispatch speculative run (spec/fused.py): the draft chain and
+        the target verify execute in the same program; the next run chains
+        from a device scalar, so launches never wait on a host fetch."""
+        sp = self.sp
+        # depth adapts to observed acceptance: fixed-depth fused chains at
+        # low acceptance burn most of their depth
+        depth = self._choose_depth()
         self.depth_counts[depth] = self.depth_counts.get(depth, 0) + 1
         # device-side seq prep happens INSIDE the fused program; only the
         # host mirrors update here
@@ -453,7 +547,9 @@ class PipeInferController:
         (ref: check_for_cancel :1277-1359)."""
         cancel_hook = getattr(self.tgt, "cancel_run", None)
         for run in self.runs:
-            if run.canceled:
+            if run.canceled or run.corrected:
+                # corrected runs carry no assumptions — their context IS
+                # the frontier the device resolved (spec/corrected.py)
                 continue
             if run.max_decide < self.n_committed:
                 run.canceled = True
@@ -579,6 +675,35 @@ class PipeInferController:
         self._after_verify(new_tokens, m, run, v0, s_keep=s_keep, stop=stop)
         return stop
 
+    def _verify_corrected(self, run: AsyncRun, pack, n_predict: int, stream) -> bool:
+        """Consume a finished device-corrected run: the device already
+        decided (m accepted drafts + the bonus target token); the host
+        commits them, reconciles its cell mirrors with the device truth,
+        and keeps the sampler/metrics bookkeeping authoritative for
+        everything downstream (EOS, n_predict, streaming, stats)."""
+        m, toks, rows = pack
+        depth = run.n_drafted
+        if self.sampling.temp <= 0 and toks and int(rows[0].ids[0]) != int(toks[0]):
+            raise RuntimeError(
+                "device verification disagrees with the sparse logits head"
+            )
+        dcells, tcells = run.corr_cells
+        base = self._corr_host_base  # this run's true root position
+        corrected.reclaim(self.dft, dcells, min(m + 1, depth), base, self.seq_base)
+        corrected.reclaim(self.tgt, tcells, m + 1, base, self.seq_base)
+        self._corr_host_base = base + m + 1
+        self.seq0_frontier = max(self.seq0_frontier, base + m + 1)
+        self.stats.n_accept += m
+        # per-token acceptance evidence: m matches (+ the mismatch, if any)
+        self._update_accept_ema(m, m + (1 if m < depth else 0))
+        for t in toks:
+            self.sampler.accept(int(t))
+            self._accept_token(int(t), stream)
+            if self._stopped(n_predict):
+                break
+        self.n_rejected = 0
+        return self._stopped(n_predict)
+
     def _accept_token(self, t: int, stream):
         now = time.perf_counter()
         if not self.generated:
@@ -602,6 +727,16 @@ class PipeInferController:
         (ref: speculative.cpp:585-634 — redesigned: the chain persists
         across verifications while the accepted tokens match it, so the
         safety run + chain restart only happen on divergence)."""
+        if self.use_corrected:
+            # only the prefill/safety non-spec run reaches here in
+            # corrected mode (spec runs retire via _verify_corrected);
+            # (re)seed the corrected chain from the newest committed token
+            if stop:
+                return
+            self._corr_root = self.generated[-1]
+            self._corr_base = self.n_committed - 1
+            self._corr_host_base = self.n_committed - 1
+            return
         if run.speculative:
             # consolidate the winning path to seq 0, including fast-forward
             # positions not yet covered there (chained runs own those cells)
@@ -724,6 +859,9 @@ class PipeInferController:
         self.chain_root_dft_logits = None
         self.chain_base = self.n_committed
         self.spec_base = self.n_committed
+        self._corr_root = None  # corrected chain seeds at prefill retire
+        self._corr_base = None
+        self._corr_host_base = 0
         self._t_start = time.perf_counter()
         self._t_last = self._t_start
         self._t_dec0 = time.perf_counter()
@@ -749,8 +887,13 @@ class PipeInferController:
             self._stopped_flag = True
         if not self._stopped_flag and not self.runs:
             # nothing in flight and not done (e.g. the pump is blocked at
-            # the generation limit): a safety run guarantees progress
-            self._reseed_frontier()
+            # the generation limit): guarantee progress — corrected mode
+            # launches from its frontier scalars, the host-verified modes
+            # reseed with a safety run
+            if self.use_corrected and self._corr_root is not None:
+                self._corrected_pump()
+            else:
+                self._reseed_frontier()
         return True
 
     def finish_generation(self) -> list[int]:
@@ -762,9 +905,27 @@ class PipeInferController:
             r = self.runs.popleft()
             self.stats.n_drafted_unverified += r.n_drafted
             self.metrics.n_dead_tokens += len(r.batch) or r.n_drafted
-            if r.speculative:
+            if r.corrected:
+                # the device committed this run's rounds; reconcile the
+                # mirrors with its truth (eager fetch is already in
+                # flight), then the tail trim below frees the overshoot
+                m, _toks, _rows = r.handle.fetch()
+                dc, tc = r.corr_cells
+                corrected.reclaim(self.dft, dc, min(m + 1, r.n_drafted),
+                                  self._corr_host_base, self.seq_base)
+                corrected.reclaim(self.tgt, tc, m + 1,
+                                  self._corr_host_base, self.seq_base)
+                self._corr_host_base += m + 1
+            elif r.speculative:
                 self._discard_cells(r)
                 self.free_offsets.append(r.seq_offset)
+        if self.use_corrected:
+            # drop device-committed tokens past the host stop point (the
+            # device does not know about EOS/n_predict) — per-seq, so
+            # co-resident streams' cells are untouched
+            final = self.n_committed
+            self.tgt.seq_rm(self.seq_base, final, -1)
+            self.dft.seq_rm(self.seq_base, final, -1)
         # free this stream's committed cells (multi-stream reuse)
         return list(self.generated)
 
@@ -781,6 +942,10 @@ class PipeInferController:
                 # generation keeps making progress
                 self._reseed_frontier()
             return False
+        if run.corrected:
+            pack = run.handle.fetch()
+            self.stats.n_rounds += 1
+            return self._verify_corrected(run, pack, n_predict, stream)
         if run.fused:
             logits, _ = run.handle.fetch()
             fused.run_tokens(run)  # fill branches from the cached fetch
@@ -789,9 +954,33 @@ class PipeInferController:
         self.stats.n_rounds += 1
         return self._verify(run, logits, n_predict, stream)
 
+    def _corrected_pump(self) -> bool:
+        """Keep the corrected-chain pipeline full: launch up to max_inflight
+        device-corrected runs. No survival gating — chained runs launch
+        from the true frontier, so the only launch limits are the cell
+        pool, the in-flight cap, and the n_predict tail-waste bound
+        (device_loop.py's over-dispatch guard)."""
+        sp = self.sp
+        launched = False
+        limit = getattr(self, "_n_predict", 1 << 30)
+        while (
+            self._corr_root is not None
+            and not self._stopped_flag
+            and len(self.runs) < sp.max_inflight
+        ):
+            bound = sum(r.n_drafted + 1 for r in self.runs if r.corrected)
+            if self.runs and len(self.generated) + bound >= limit:
+                break  # in-flight commits can already cover the budget
+            if not self._launch_corrected():
+                break
+            launched = True
+        return launched
+
     def _speculation_pump(self) -> bool:
         """Launch chained speculative runs while waiting
         (ref: run_speculation_loop :765-844)."""
+        if self.use_corrected:
+            return self._corrected_pump()
         sp = self.sp
         launched_any = False
         it = 0

@@ -61,6 +61,13 @@ class SpecParams:
     # time costs less than the RTT serialization an empty pipeline causes);
     # raise for device-bound multi-chip topologies
     p_chain: float = 0.0
+    # device-corrected chaining (spec/corrected.py): when the sampler chain
+    # fits the device verifier, fused runs verify ON DEVICE and chain from
+    # the corrected frontier, so chained runs are never launched on a
+    # diverged assumption (cross-run dead work -> 0). False forces the
+    # host-verified fused/tree path everywhere (its cancellation machinery
+    # is still always used for grammar/penalties/mirostat/trees/staged)
+    device_verify: bool = True
 
     def ladder(self) -> tuple[int, ...]:
         """Compiled fused-run depths (halving from n_draft, max 4 rungs).
@@ -73,6 +80,19 @@ class SpecParams:
             out.append(d)
             d //= 2
         return tuple(sorted(set(out))) or (self.n_draft,)
+
+    def depth_value_corrected(self, d: int, accept_ema: float) -> float:
+        """Expected committed tokens per unit run cost at depth d for
+        DEVICE-CORRECTED runs (spec/corrected.py). Corrected chains carry
+        no cross-run kill risk — a mismatch costs only the run's own tail
+        (the drafts past the first reject), so the value is just expected
+        commits over the run's cost: E[d] = 1 + a(1-a^d)/(1-a) committed
+        tokens for fixed_cost + d draft-step units. Monotone pressure:
+        high acceptance pushes deep (tail waste is rare), low acceptance
+        pushes shallow (the fixed cost stops the descent)."""
+        a = min(max(accept_ema, 0.05), 0.999)
+        exp_tokens = 1.0 + a * (1.0 - a**d) / (1.0 - a)
+        return exp_tokens / (self.fixed_cost_steps + d)
 
     def depth_value(self, d: int, accept_ema: float) -> float:
         """Expected committed tokens per unit run cost at depth d.
@@ -91,21 +111,27 @@ class SpecParams:
         kill = 1.0 + (1.0 - a**d) * max(self.max_inflight - 1, 0)
         return exp_tokens / ((self.fixed_cost_steps + d) * kill)
 
-    def pick_depth(self, accept_ema: float, current: int | None = None) -> int:
+    def pick_depth(
+        self, accept_ema: float, current: int | None = None,
+        corrected: bool = False,
+    ) -> int:
         """Throughput-maximizing rung for the current acceptance estimate.
         With `current` set, sticks to the current rung unless the best
         rung's predicted value clears the hysteresis margin (rung changes
-        alternate compiled executables — flapping costs real wall time)."""
+        alternate compiled executables — flapping costs real wall time).
+        corrected=True uses the tail-waste-only value model (device-
+        corrected runs carry no cross-run kill risk)."""
+        value = self.depth_value_corrected if corrected else self.depth_value
         rungs = self.ladder()
         if len(rungs) == 1:
             return rungs[0]
         best, best_v = rungs[-1], -1.0
         for d in rungs:
-            v = self.depth_value(d, accept_ema)
+            v = value(d, accept_ema)
             if v > best_v:
                 best, best_v = d, v
         if current in rungs and best != current:
-            if best_v < self.depth_value(current, accept_ema) * (1.0 + self.depth_hysteresis):
+            if best_v < value(current, accept_ema) * (1.0 + self.depth_hysteresis):
                 return current
         return best
 

@@ -153,6 +153,13 @@ BENCH_SCALES = {
                     n_ff=2816, n_vocab=32000),
         draft_layers=3,
     ),
+    # unit-test scale: the same margin/eps design at seconds-per-run CPU
+    # cost (known per-token acceptance ~1-eps for estimator tests)
+    "nano": dict(
+        target=dict(n_layers=4, n_embd=256, n_heads=4, n_kv_heads=2,
+                    n_ff=512, n_vocab=2048),
+        draft_layers=2,
+    ),
 }
 
 

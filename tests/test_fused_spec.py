@@ -62,19 +62,19 @@ N = 40
 def test_fused_controller_selected(models):
     tgt, dft = models
     c = PipeInferController(_ctx(tgt), _ctx(dft), GREEDY,
-                            SpecParams(n_draft=6, n_parallel=1), eos_id=-1)
+                            SpecParams(n_draft=6, n_parallel=1, device_verify=False), eos_id=-1)
     assert c.use_fused
 
     # penalties force the host drafting path
     c2 = PipeInferController(_ctx(tgt), _ctx(dft), SamplingParams(temp=0.0),
-                             SpecParams(n_draft=6, n_parallel=1), eos_id=-1)
+                             SpecParams(n_draft=6, n_parallel=1, device_verify=False), eos_id=-1)
     assert not c2.use_fused
 
 
 def test_fused_token_exact_perfect_draft(models):
     tgt, _ = models
     ref = _plain_greedy(tgt, PROMPT, N)
-    sp = SpecParams(n_draft=6, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=3)
+    sp = SpecParams(n_draft=6, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=3, device_verify=False)
     c = PipeInferController(_ctx(tgt), _ctx(tgt), GREEDY, sp, eos_id=-1)
     assert c.use_fused
     got = c.generate(list(PROMPT), N)
@@ -88,7 +88,7 @@ def test_fused_token_exact_divergent_draft(models):
     reseed path must keep making progress — output stays token-exact."""
     tgt, dft = models
     ref = _plain_greedy(tgt, PROMPT, N)
-    sp = SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=3)
+    sp = SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, p_split=0.9, max_inflight=3, device_verify=False)
     c = PipeInferController(_ctx(tgt), _ctx(dft), GREEDY, sp, eos_id=-1)
     assert c.use_fused
     got = c.generate(list(PROMPT), N)
@@ -107,7 +107,7 @@ def test_fused_stochastic_selected_and_reproducible(models):
     def run():
         c = PipeInferController(
             _ctx(tm), _ctx(dm), STOCH,
-            SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3),
+            SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3, device_verify=False),
             eos_id=-1,
         )
         assert c.use_fused
@@ -127,7 +127,7 @@ def test_fused_stochastic_top1_matches_greedy(models):
     c = PipeInferController(
         _ctx(tm), _ctx(dm),
         SamplingParams(temp=0.7, top_k=1, penalty_repeat=1.0, penalty_last_n=0, seed=1),
-        SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3),
+        SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, max_inflight=3, device_verify=False),
         eos_id=-1,
     )
     assert c.use_fused
@@ -162,7 +162,7 @@ def test_adaptive_depth_token_exact_across_transitions(models):
     multiple rungs must actually be used."""
     tgt, dft = models
     ref = _plain_greedy(tgt, PROMPT, N)
-    sp = SpecParams(n_draft=8, n_parallel=1, p_accept=0.0, max_inflight=3)
+    sp = SpecParams(n_draft=8, n_parallel=1, p_accept=0.0, max_inflight=3, device_verify=False)
     c = PipeInferController(_ctx(tgt), _ctx(dft), GREEDY, sp, eos_id=-1)
     assert c.use_fused
     got = c.generate(list(PROMPT), N)
@@ -177,7 +177,7 @@ def test_adaptive_depth_perfect_draft_stays_deep(models):
     """A perfect draft keeps the EMA at ~1.0: every fused run uses the full
     configured depth (adaptation must not tax the best case)."""
     tgt, _ = models
-    sp = SpecParams(n_draft=8, n_parallel=1, p_accept=0.0, max_inflight=3)
+    sp = SpecParams(n_draft=8, n_parallel=1, p_accept=0.0, max_inflight=3, device_verify=False)
     c = PipeInferController(_ctx(tgt), _ctx(tgt), GREEDY, sp, eos_id=-1)
     got = c.generate(list(PROMPT), N)
     assert got == _plain_greedy(tgt, PROMPT, N)
