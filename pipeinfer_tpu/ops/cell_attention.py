@@ -32,10 +32,13 @@ def _kernel(
     #         per-layer slice copy feeding the custom call
     v_ref,  # (1, 1, BC, D)
     pos_ref,  # (1, BC) i32 cell positions
-    w0_ref,  # (1, BC) i32 seq word 0 (bitcast from uint32)
-    w1_ref,  # (1, BC) i32 seq word 1
+    words_ref,  # (W, BC) i32 seq bitmask words (bitcast from uint32) —
+    #             W = cell_seq.shape[1] (SEQ_WORDS), handled by a static
+    #             unrolled select so ANY configured width masks correctly
+    #             (a 2-word hardcode silently tested the wrong word for
+    #             seq ids >= 64; ref multi-seq mask llama.cpp:5200-5240)
     tp_ref,  # (TG, 1) i32 token positions per row
-    tw_ref,  # (TG, 1) i32 token seq word index (0/1)
+    tw_ref,  # (TG, 1) i32 token seq word index (0..W-1)
     tb_ref,  # (TG, 1) i32 token seq bit shift (0..31)
     tv_ref,  # (TG, 1) i32 row validity (1/0)
     slope_ref,  # (1, TG, 1) f32 alibi slope per row (0 disables)
@@ -46,6 +49,7 @@ def _kernel(
     *,
     scale: float,
     n_blocks: int,
+    n_words: int,
 ):
     j = pl.program_id(1)
 
@@ -62,14 +66,15 @@ def _kernel(
     ) * scale  # (TG, BC)
 
     cpos = pos_ref[...]  # (1, BC)
-    w0 = w0_ref[...]
-    w1 = w1_ref[...]
     tw = tw_ref[...]  # (TG, 1)
     tb = tb_ref[...]
     tp = tp_ref[...]
     tv = tv_ref[...]
 
-    word = jnp.where(tw == 0, w0, w1)  # (TG, BC)
+    # bounded static switch over the token's seq word index
+    word = jnp.broadcast_to(words_ref[0:1, :], (tw.shape[0], cpos.shape[1]))
+    for w in range(1, n_words):
+        word = jnp.where(tw == w, words_ref[w : w + 1, :], word)
     bit = jax.lax.shift_right_logical(word, tb) & 1
     visible = (bit != 0) & (cpos <= tp) & (cpos >= 0) & (tv != 0)
     s = s + jnp.where(visible, 0.0, NEG)
@@ -107,7 +112,7 @@ def cell_attention(
     k_cache: jax.Array,  # [L, KVH, C, D] full cache (or [KVH, C, D])
     v_cache: jax.Array,  # like k_cache
     cell_pos: jax.Array,  # [C] i32
-    cell_seq: jax.Array,  # [C, 2] u32
+    cell_seq: jax.Array,  # [C, W] u32 (W = SEQ_WORDS; any width works)
     tok_pos: jax.Array,  # [T] i32
     tok_seq: jax.Array,  # [T] i32
     valid: jax.Array,  # [T] bool
@@ -158,13 +163,14 @@ def cell_attention(
         srow = jnp.zeros((kvh, tg_pad, 1), jnp.float32)
 
     pos2 = cell_pos.astype(jnp.int32)[None, :]  # (1, C)
-    w0 = cell_seq[:, 0].astype(jnp.int32)[None, :]
-    w1 = cell_seq[:, 1].astype(jnp.int32)[None, :]
+    n_words = cell_seq.shape[1]
+    words = cell_seq.T.astype(jnp.int32)  # (W, C)
 
     n_blocks = c // block_c
     grid = (kvh, n_blocks)
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, n_blocks=n_blocks),
+        functools.partial(_kernel, scale=scale, n_blocks=n_blocks,
+                          n_words=n_words),
         out_shape=jax.ShapeDtypeStruct((kvh, tg_pad, d), jnp.float32),
         grid=grid,
         in_specs=[
@@ -172,8 +178,7 @@ def cell_attention(
             pl.BlockSpec((1, 1, block_c, d), lambda i, j, _l=layer: (_l, i, j, 0)),
             pl.BlockSpec((1, 1, block_c, d), lambda i, j, _l=layer: (_l, i, j, 0)),
             pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
-            pl.BlockSpec((1, block_c), lambda i, j: (0, j)),
+            pl.BlockSpec((n_words, block_c), lambda i, j: (0, j)),
             pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
             pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
             pl.BlockSpec((tg_pad, 1), lambda i, j: (0, 0)),
@@ -190,7 +195,7 @@ def cell_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qr, k_cache, v_cache, pos2, w0, w1, tp, tw, tb, tv, srow)
+    )(qr, k_cache, v_cache, pos2, words, tp, tw, tb, tv, srow)
 
     out = out[:, :tg].reshape(kvh, t, g, d).transpose(1, 0, 2, 3).reshape(t, h, d)
     return out

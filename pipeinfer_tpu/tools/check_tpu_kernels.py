@@ -101,6 +101,54 @@ def main():
     print(f"{'i4g/tp-shard':12s} err={err:.5f} {'OK ' if ok else 'FAIL'} "
           f"(Pallas i4g inside shard_map on a 'model' mesh)")
 
+    # flash cell attention at WIDE seq-bitmask widths on silicon: tokens
+    # whose primary seq id lives in word 2/3 (seq >= 64) must mask against
+    # the right word (the serving-scale SEQ_WORDS>2 configuration; the
+    # kernel derives the width from cell_seq.shape[1])
+    import jax.numpy as jnp
+
+    from ..ops.cell_attention import cell_attention
+    from ..runtime import kv_cache as kvmod
+
+    for W in (2, 4):
+        t, h, kvh, d, c = 4, 8, 2, 64, 1024
+        q = jnp.asarray(rng.standard_normal((t, h, d)), jnp.float32)
+        kc = jnp.asarray(rng.standard_normal((kvh, c, d)), jnp.float32)
+        vc = jnp.asarray(rng.standard_normal((kvh, c, d)), jnp.float32)
+        pos = np.full(c, -1, np.int32)
+        seq = np.zeros((c, W), np.uint32)
+        n_used = c // 2
+        pos[:n_used] = np.arange(n_used)
+        seq_ids = [w * 33 for w in range(W)]  # one id per word, up to 99
+        for i in range(n_used):
+            s = seq_ids[i % W]
+            seq[i, s // 32] |= np.uint32(1) << np.uint32(s % 32)
+        tok_pos = jnp.asarray(rng.integers(5, n_used, t), jnp.int32)
+        tok_seq = jnp.asarray([seq_ids[i % W] for i in range(t)], jnp.int32)
+        valid = jnp.ones(t, bool)
+        cache = kvmod.KVCache(k=kc[None], v=vc[None], pos=jnp.asarray(pos),
+                              seq=jnp.asarray(seq))
+        mask = kvmod.attn_mask(cache, tok_pos, tok_seq)
+        want = np.asarray(kvmod.attention(q, kc, vc, mask, scale=0.125))
+        got = np.asarray(cell_attention(
+            q, kc, vc, jnp.asarray(pos), jnp.asarray(seq), tok_pos, tok_seq,
+            valid, scale=0.125,
+        ))
+        err = np.abs(got - want).max() / (np.abs(want).max() + 1e-6)
+        # masking must also be LOAD-BEARING: word-0 tokens at the same
+        # positions see different cells, so outputs must differ a lot (a
+        # wrong-word select would be an O(1) error, not f32 noise)
+        got0 = np.asarray(cell_attention(
+            q, kc, vc, jnp.asarray(pos), jnp.asarray(seq), tok_pos,
+            jnp.zeros_like(tok_seq), valid, scale=0.125,
+        ))
+        sep = np.abs(got0 - got).max() / (np.abs(want).max() + 1e-6)
+        ok = err < 1e-2 and (W == 1 or sep > 0.05)
+        results[f"flash/W={W}"] = ok
+        print(f"{f'flash/W={W}':12s} err={err:.5f} sep={sep:.3f} "
+              f"{'OK ' if ok else 'FAIL'} "
+              f"(seq ids {seq_ids} across {W} bitmask words)")
+
     if not all(results.values()):
         raise SystemExit(1)
     print("all kernels OK on", dev.platform)
