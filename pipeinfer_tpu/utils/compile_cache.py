@@ -26,10 +26,18 @@ _enabled = False
 
 
 def enable(cache_dir: str | None = None) -> str:
-    """Turn on the persistent compilation cache (idempotent)."""
+    """Turn on the persistent compilation cache (idempotent).
+
+    PIPEINFER_NO_COMPILE_CACHE=1 makes this a no-op: this jax build's
+    executable (de)serialization crashes the process (SIGSEGV on read,
+    abort on write) for multi-device CPU-mesh executables — the test
+    suite compiles many of those and disables the cache (tests/conftest),
+    while the real TPU paths (CLI/bench/serving) keep it."""
     global _enabled
     import jax
 
+    if os.environ.get("PIPEINFER_NO_COMPILE_CACHE"):
+        return "(persistent compilation cache disabled)"
     d = cache_dir or _DEFAULT_DIR
     Path(d).mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)
