@@ -338,6 +338,78 @@ def sample(state: SamplerState, logits: np.ndarray, cfg_logits=None) -> int:
     return sample_with_candidates(state, logits, cfg_logits)[0]
 
 
+def top_probs(
+    state: SamplerState, logits: np.ndarray | SparseLogits, n: int
+) -> list[tuple[int, float]]:
+    """Top-n (token_id, prob) of the post-transform target distribution at
+    the CURRENT sampler state — the server's per-token `n_probs` payload
+    (ref: examples/server/server.cpp:1106-1123, probs_output from the
+    post-chain candidate array). Pure query: does not advance the rng,
+    penalties, or grammar (call before `accept`). At temp<=0 the
+    distribution before the argmax collapse (plain softmax) is reported;
+    at temp>0 the chain-filtered, renormalized sampling distribution."""
+    p = state.params
+    if isinstance(logits, SparseLogits):
+        ids = logits.ids.astype(np.int64)
+        vals = logits.vals.astype(np.float32).copy()
+        for tid, bias in p.logit_bias.items():
+            hit = np.nonzero(ids == tid)[0]
+            if len(hit):
+                vals[hit[0]] += bias
+        penalized = bool(state.prev) and p.penalty_last_n != 0
+        if penalized:
+            # same candidate-window penalty transform as _sample_sparse —
+            # the reported distribution must be the one sample() draws from
+            last_n = p.penalty_last_n if p.penalty_last_n > 0 else len(state.prev)
+            window = np.asarray(state.prev[-last_n:], dtype=np.int64)
+            w_ids, w_counts = np.unique(window, return_counts=True)
+            for wid, cnt in zip(w_ids, w_counts):
+                hit = np.nonzero(ids == wid)[0]
+                if len(hit):
+                    v = vals[hit[0]]
+                    v = v * p.penalty_repeat if v <= 0 else v / p.penalty_repeat
+                    vals[hit[0]] = v - cnt * p.penalty_freq - p.penalty_present
+        if p.temp <= 0:
+            if penalized:
+                # penalties invalidate the full-vocab normalizer; softmax
+                # over the candidate window instead
+                probs = _softmax(vals).astype(np.float64)
+            else:
+                # exact full-vocab probabilities via the shipped normalizer
+                probs = np.exp(vals.astype(np.float64) - logits.lse)
+        else:
+            cand = _chain_filter(vals, p)
+            out = np.zeros(len(ids))
+            out[cand.ids] = cand.probs / cand.probs.sum()
+            probs = out
+        order = np.argsort(-probs, kind="stable")[:n]
+        return [(int(ids[i]), float(probs[i])) for i in order]
+
+    row = np.asarray(logits, dtype=np.float32).copy()
+    for tid, bias in p.logit_bias.items():
+        row[tid] += bias
+    if state.prev and p.penalty_last_n != 0:
+        last_n = p.penalty_last_n if p.penalty_last_n > 0 else len(state.prev)
+        window = state.prev[-last_n:]
+        nl_id = getattr(state, "nl_token", None)
+        nl_logit = row[nl_id] if (not p.penalize_nl and nl_id is not None) else None
+        row = apply_repetition_penalties(
+            row, window, p.penalty_repeat, p.penalty_freq, p.penalty_present
+        )
+        if nl_logit is not None:
+            row[nl_id] = nl_logit
+    if state.grammar is not None:
+        row = state.grammar.mask_logits(row)
+    if p.temp <= 0 or p.mirostat:
+        probs = _softmax(row)
+        order = np.argsort(-probs, kind="stable")[:n]
+        return [(int(i), float(probs[i])) for i in order]
+    cand = _chain_filter(row, p)
+    pr = cand.probs / cand.probs.sum()
+    order = np.argsort(-pr, kind="stable")[:n]
+    return [(int(cand.ids[i]), float(pr[i])) for i in order]
+
+
 def _mirostat_v1(state: SamplerState, logits: np.ndarray) -> tuple[int, Candidates]:
     """ref: llama_sample_token_mirostat (m=100)."""
     p = state.params

@@ -18,7 +18,7 @@ from typing import Callable, Optional
 import numpy as np
 
 from ..runtime.context import Batch, InferenceContext
-from ..sampling.samplers import SamplerState, SamplingParams, sample
+from ..sampling.samplers import SamplerState, SamplingParams, sample, top_probs
 
 
 @dataclasses.dataclass
@@ -33,6 +33,15 @@ class Request:
     # prefix_prompt structure (ref: server.cpp:196-206). When set,
     # prompt_ids is ignored and the whole prefill happens at admission.
     segments: list | None = None
+    # per-request parity with the reference server (server.cpp:721-760):
+    # grammar: a parsed sampling.grammar.GrammarState (the HTTP layer turns
+    # GBNF text into one); n_probs: record top-n (id, prob) per generated
+    # token into `probs`; cancel: cooperative early stop (stop-sequence
+    # matching lives in the text layer, which calls scheduler.cancel)
+    grammar: object | None = None
+    n_probs: int = 0
+    probs: list = dataclasses.field(default_factory=list)
+    cancel: bool = False
 
     # runtime state (slot fields, ref server.cpp slot struct)
     rid: int = -1
@@ -114,7 +123,8 @@ class BatchScheduler:
                 req = self.queue.pop(0)
                 self._reserved += need
                 req.seq = i
-                req.sampler = SamplerState(params=req.sampling)
+                req.sampler = SamplerState(params=req.sampling,
+                                           grammar=req.grammar)
                 self.ctx.seq_rm(i, 0, -1)
                 self.slots[i] = req
                 if req.segments is not None:
@@ -140,7 +150,9 @@ class BatchScheduler:
                     req.sampler.accept(t, apply_grammar=False)
                     b.add(t, pos + j, req.seq,
                           want_logits=(si == last and j == len(payload) - 1))
-                out = self.ctx.decode(b, self.topk)
+                topk = None if (req.grammar is not None
+                                or req.sampling.mirostat != 0) else self.topk
+                out = self.ctx.decode(b, topk)
                 logits = out[-1]
                 pos += len(payload)
             else:  # "img": [T, n_embd] embeddings
@@ -149,6 +161,8 @@ class BatchScheduler:
         req.n_past = pos
         req.n_prompt_fed = len(req.prompt_ids)  # nothing left to feed
         # sample the first token now so step() continues from generated[-1]
+        if req.n_probs:
+            req.probs.append(top_probs(req.sampler, logits, req.n_probs))
         tok = sample(req.sampler, logits)
         req.sampler.accept(tok)
         req.generated.append(tok)
@@ -158,14 +172,32 @@ class BatchScheduler:
         if hit_eos or len(req.generated) >= req.n_predict:
             self._finish(req)
 
+    def _topk_for_step(self) -> int | None:
+        """Sparse top-K rows unless any live request needs the full vocab
+        row (grammar masking / mirostat walk every logit)."""
+        for req in self.slots:
+            if req is not None and (
+                req.grammar is not None or req.sampling.mirostat != 0
+            ):
+                return None
+        return self.topk
+
+    def cancel(self, req: Request):
+        """Cooperative early stop (the stop-sequence path): the engine
+        thread finishes the request at its next step boundary."""
+        req.cancel = True
+
     def step(self) -> int:
         """One engine iteration. Returns number of tokens decoded."""
         with self.lock:
             self._admit()
         batch = Batch()
         sample_list: list[Request] = []
-        for req in self.slots:
+        for req in list(self.slots):
             if req is None:
+                continue
+            if req.cancel:
+                self._finish(req)
                 continue
             if req.n_prompt_fed < len(req.prompt_ids):
                 # feed (a chunk of) the prompt
@@ -187,12 +219,15 @@ class BatchScheduler:
         if len(batch) == 0:
             return 0
         try:
-            logits = self.ctx.decode(batch, self.topk)
+            logits = self.ctx.decode(batch, self._topk_for_step())
         except RuntimeError as e:  # KV full despite admission control
             self._fail_live(f"engine error: {e}")
             return 0
         for req in sample_list:
-            tok = sample(req.sampler, logits[req.pending_logit_idx])
+            row = logits[req.pending_logit_idx]
+            if req.n_probs:
+                req.probs.append(top_probs(req.sampler, row, req.n_probs))
+            tok = sample(req.sampler, row)
             req.sampler.accept(tok)
             req.generated.append(tok)
             if req.stream:
@@ -244,12 +279,22 @@ class BatchScheduler:
 
 class SpecBatchScheduler:
     """Continuous batching WITH asynchronous speculation: the BatchScheduler
-    surface (submit/step/serve_forever over serving Requests) backed by the
-    MultiPipeInfer engine — each slot is a full PipeInfer stream with its
-    own draft trees and in-flight verification runs. The reference keeps
-    speculation (examples/speculative) and continuous batching
-    (examples/server, examples/parallel) in separate drivers; here
-    `pipeinfer-server --draft d.gguf` serves both at once."""
+    surface (submit/step/serve_forever over serving Requests) backed by TWO
+    engines sharing the contexts with disjoint sequence-slot namespaces:
+
+    - `DeviceLoopServer` lanes (spec/device_multi.py) for requests whose
+      sampler rides the compiled device chain (greedy by default) — the
+      batched device-resident loop is the single-chip throughput engine
+      (measured ~2.9x the host-verified multi-stream path on identical
+      4-stream work, BENCH_r04 multi_stream);
+    - `MultiPipeInfer` (spec/multi.py) for everything else — grammar,
+      penalties, mirostat, logit bias, seeded stochastic chains — each
+      slot a full PipeInfer stream with host verification.
+
+    The reference keeps speculation (examples/speculative) and continuous
+    batching (examples/server slot scheduler, server.cpp:377-463;
+    examples/parallel) in separate drivers; here `pipeinfer-server
+    --draft d.gguf` serves both at once and routes per request."""
 
     def __init__(
         self,
@@ -259,24 +304,52 @@ class SpecBatchScheduler:
         spec_params=None,
         max_slots: int | None = None,
         eos_id: int = 2,
+        device_lanes: int = 4,
+        device_sampling: SamplingParams | None = None,
+        device_rounds: int = 4,
     ):
-        from ..spec.multi import MultiPipeInfer
+        from ..spec.multi import MAX_SEQS, MultiPipeInfer
         from ..spec.params import SpecParams
 
         self.ctx = ctx
+        sp = spec_params or SpecParams()
+        self.devsrv = None
+        lane_slots = 0
+        if device_lanes > 0 and getattr(ctx, "mesh", None) is None \
+                and getattr(ctx_dft, "mesh", None) is None:
+            from ..spec.device_multi import DeviceLoopServer
+
+            dsamp = device_sampling or SamplingParams(
+                temp=0.0, penalty_repeat=1.0, penalty_last_n=0)
+            try:
+                self.devsrv = DeviceLoopServer(
+                    ctx, ctx_dft, dsamp, sp,
+                    n_lanes=device_lanes,
+                    seq_base=MAX_SEQS - device_lanes,
+                    eos_id=eos_id, rounds=device_rounds,
+                )
+                lane_slots = device_lanes
+            except ValueError:
+                self.devsrv = None  # incompatible chain: host path only
         self.engine = MultiPipeInfer(
             ctx,
             ctx_dft,
             SamplingParams(),
-            spec_params or SpecParams(),
+            sp,
             eos_id=eos_id,
             max_streams=max_slots,
+            max_seqs=MAX_SEQS - lane_slots,
         )
-        self.max_slots = self.engine.max_streams
+        self.max_slots = self.engine.max_streams + lane_slots
         self.queue: list[Request] = []
         self._live: dict[int, Request] = {}  # SpecRequest.id -> serving req
         self._sreqs: dict[int, object] = {}  # SpecRequest.id -> SpecRequest
+        self._dev_live: list[tuple[object, Request]] = []  # (LaneHandle, req)
+        self._rid = itertools.count()
         self.lock = threading.Lock()
+        # per-engine served counters (observability + routing tests)
+        self.n_device_served = 0
+        self.n_host_served = 0
 
     def submit(self, req: Request) -> Request:
         with self.lock:
@@ -285,7 +358,25 @@ class SpecBatchScheduler:
 
     @property
     def busy(self) -> bool:
-        return bool(self.queue) or bool(self.engine.active) or bool(self.engine.pending)
+        return (
+            bool(self.queue)
+            or bool(self.engine.active)
+            or bool(self.engine.pending)
+            or bool(self.devsrv and self.devsrv.busy)
+        )
+
+    def _route_device(self, req: Request) -> bool:
+        """Send this request down the device-lane path? Sampler must ride
+        the compiled chain; multimodal prefill, grammar, and n_probs stay
+        host-side (device verification never ships per-token rows)."""
+        return (
+            self.devsrv is not None
+            and req.segments is None
+            and req.grammar is None
+            and req.n_probs == 0
+            and len(req.prompt_ids) > 0
+            and self.devsrv.compatible(req.sampling)
+        )
 
     def _drain_queue(self):
         with self.lock:
@@ -297,14 +388,25 @@ class SpecBatchScheduler:
                 if _r.stream:
                     _r.stream(t)
 
+            req.rid = next(self._rid)
+            if self._route_device(req):
+                h = self.devsrv.submit(
+                    req.prompt_ids,
+                    req.n_predict,
+                    on_token=cb,
+                    ignore_eos=req.ignore_eos,
+                )
+                self._dev_live.append((h, req))
+                continue
             sreq = self.engine.submit(
                 req.prompt_ids,
                 req.n_predict,
                 sampling=req.sampling,
                 stream=cb,
                 ignore_eos=req.ignore_eos,
+                grammar=req.grammar,
+                n_probs=req.n_probs,
             )
-            req.rid = sreq.id
             self._live[sreq.id] = req
             self._sreqs[sreq.id] = sreq
 
@@ -314,15 +416,52 @@ class SpecBatchScheduler:
         for sid in list(self._live):
             if sid not in live_ids:
                 req = self._live.pop(sid)
-                req.error = self._sreqs.pop(sid).error
+                sreq = self._sreqs.pop(sid)
+                req.error = sreq.error
+                req.probs = sreq.probs
                 req.done = True
                 req.done_event.set()
+                self.n_host_served += 1
+        still = []
+        for h, req in self._dev_live:
+            if h.done:
+                req.error = h.error
+                req.done = True
+                req.done_event.set()
+                self.n_device_served += 1
+            else:
+                still.append((h, req))
+        self._dev_live = still
+
+    def cancel(self, req: Request):
+        """Cooperative early stop (stop-sequence path), engine-agnostic:
+        scheduler-queued requests finish immediately; routed ones stop at
+        their engine's next quantum."""
+        with self.lock:
+            if req in self.queue:
+                self.queue.remove(req)
+                req.done = True
+                req.done_event.set()
+                return
+        for h, r in self._dev_live:
+            if r is req:
+                h.cancel = True
+                return
+        for sid, r in self._live.items():
+            if r is req:
+                self.engine.cancel(self._sreqs[sid])
+                return
 
     def step(self) -> int:
         self._drain_queue()
         progressed = self.engine.step()
+        dev_prog = 0
+        if self.devsrv is not None and self.devsrv.busy:
+            # block on the oldest device pack only when the host engine has
+            # nothing to do — otherwise poll, so neither engine starves
+            dev_prog = self.devsrv.step(block=not progressed)
         self._drain_queue()
-        return 1 if progressed else 0
+        return 1 if (progressed or dev_prog) else 0
 
     def run_until_idle(self):
         while self.busy:
@@ -342,6 +481,11 @@ class SpecBatchScheduler:
                     self.engine.abort_all(f"engine exception: {e}")
                 except Exception:
                     pass
+                if self.devsrv is not None:
+                    try:
+                        self.devsrv.abort_all(f"engine exception: {e}")
+                    except Exception:
+                        pass
                 self._drain_queue()
                 n = 0
             if n == 0:

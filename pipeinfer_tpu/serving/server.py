@@ -37,14 +37,72 @@ class EngineState:
 
 
 def _sampling_from_body(body: dict) -> SamplingParams:
+    """Per-request sampler parameters, full parity with the reference
+    server's request schema (ref: examples/server/server.cpp:721-760)."""
+    logit_bias: dict[int, float] = {}
+    lb = body.get("logit_bias") or []
+    pairs = lb.items() if isinstance(lb, dict) else lb
+    for tid, bias in pairs:
+        # JSON `false` means "never sample this token" (server.cpp:756)
+        logit_bias[int(tid)] = float("-inf") if bias is False else float(bias)
     return SamplingParams(
         temp=float(body.get("temperature", 0.8)),
         top_k=int(body.get("top_k", 40)),
         top_p=float(body.get("top_p", 0.95)),
         min_p=float(body.get("min_p", 0.05)),
+        tfs_z=float(body.get("tfs_z", 1.0)),
+        typical_p=float(body.get("typical_p", 1.0)),
+        penalty_last_n=int(body.get("repeat_last_n", 64)),
         penalty_repeat=float(body.get("repeat_penalty", 1.1)),
+        penalty_present=float(body.get("presence_penalty", 0.0)),
+        penalty_freq=float(body.get("frequency_penalty", 0.0)),
+        mirostat=int(body.get("mirostat", 0)),
+        mirostat_tau=float(body.get("mirostat_tau", 5.0)),
+        mirostat_eta=float(body.get("mirostat_eta", 0.1)),
+        penalize_nl=bool(body.get("penalize_nl", True)),
+        logit_bias=logit_bias,
         seed=int(body.get("seed", -1)),
     )
+
+
+def _request_from_body(body: dict, tok, ids, segments) -> Request:
+    """Build the serving Request: sampler params + grammar + n_probs +
+    ignore_eos (server.cpp:721-760 request schema)."""
+    grammar = None
+    if body.get("grammar"):
+        from ..sampling.grammar import grammar_state_from_gbnf
+
+        grammar = grammar_state_from_gbnf(str(body["grammar"]), tok)
+    return Request(
+        prompt_ids=ids,
+        n_predict=int(body.get("n_predict", body.get("max_tokens", 64))),
+        sampling=_sampling_from_body(body),
+        segments=segments,
+        grammar=grammar,
+        n_probs=int(body.get("n_probs", 0)),
+        ignore_eos=bool(body.get("ignore_eos", False)),
+    )
+
+
+def _stop_list(body: dict) -> list[str]:
+    stops = body.get("stop") or []
+    if isinstance(stops, str):
+        stops = [stops]
+    return [s for s in stops if s]
+
+
+def _truncate_at_stop(text: str, stops: list[str]) -> tuple[str, str | None]:
+    """Cut `text` at the EARLIEST stop-sequence occurrence (the reference's
+    find_stopping_strings FULL_STOP behavior, server.cpp:1043-1086)."""
+    best = None
+    word = None
+    for s in stops:
+        i = text.find(s)
+        if i >= 0 and (best is None or i < best):
+            best, word = i, s
+    if best is None:
+        return text, None
+    return text[:best], word
 
 
 def make_handler(engine: EngineState):
@@ -136,7 +194,6 @@ def make_handler(engine: EngineState):
             if not isinstance(prompt, str):
                 self._json(400, {"error": "prompt must be a string"})
                 return
-            n_predict = int(body.get("n_predict", body.get("max_tokens", 64)))
             stream = bool(body.get("stream", False))
             segments = None
             if body.get("image_data"):
@@ -149,6 +206,26 @@ def make_handler(engine: EngineState):
                     self._json(400, {"error": f"bad image_data: {e}"})
                     return
             ids = tok.encode(prompt, add_bos=True)
+            try:
+                req = _request_from_body(body, tok, ids, segments)
+            except Exception as e:  # bad GBNF etc.
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            stops = _stop_list(body)
+
+            def probs_payload():
+                # per-token top-n candidates (ref server's
+                # completion_probabilities, server.cpp:1106-1123)
+                return [
+                    {
+                        "content": tok.decode([t]),
+                        "probs": [
+                            {"tok_str": tok.decode([pid]), "prob": p}
+                            for pid, p in row
+                        ],
+                    }
+                    for t, row in zip(req.generated, req.probs)
+                ]
 
             if stream:
                 self.send_response(200)
@@ -156,18 +233,22 @@ def make_handler(engine: EngineState):
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
                 q: queue.Queue = queue.Queue()
-                req = Request(
-                    prompt_ids=ids,
-                    n_predict=n_predict,
-                    sampling=_sampling_from_body(body),
-                    stream=q.put,
-                    segments=segments,
-                )
+                req.stream = q.put
                 engine.scheduler.submit(req)
                 from ..tokenizer.stream import StreamDecoder
 
                 sdec = StreamDecoder(tok)
                 sent = 0
+                # hold back a tail that could still begin a stop sequence
+                hold = max((len(s) for s in stops), default=1) - 1
+                acc = ""
+                stopped_word = None
+
+                def emit(piece: str):
+                    payload = json.dumps({"content": piece, "stop": False})
+                    self.wfile.write(f"data: {payload}\n\n".encode())
+                    self.wfile.flush()
+
                 while True:
                     try:
                         t = q.get(timeout=0.1)
@@ -179,23 +260,57 @@ def make_handler(engine: EngineState):
                     sent += 1
                     if not piece:
                         continue
-                    payload = json.dumps({"content": piece, "stop": False})
-                    self.wfile.write(f"data: {payload}\n\n".encode())
-                    self.wfile.flush()
-                final = {"content": sdec.flush(), "stop": True, "tokens_predicted": sent}
+                    acc += piece
+                    cut, stopped_word = _truncate_at_stop(acc, stops)
+                    if stopped_word is not None:
+                        if cut:
+                            emit(cut)
+                        acc = ""
+                        engine.scheduler.cancel(req)
+                        break
+                    if hold:
+                        safe, acc = acc[: len(acc) - hold], acc[len(acc) - hold:]
+                    else:
+                        safe, acc = acc, ""
+                    if safe:
+                        emit(safe)
+                if stopped_word is None:
+                    acc += sdec.flush()
+                    cut, stopped_word = _truncate_at_stop(acc, stops)
+                else:
+                    cut = ""
+                final = {"content": cut, "stop": True, "tokens_predicted": sent,
+                         "stopped_word": stopped_word is not None,
+                         "stopping_word": stopped_word or ""}
+                if req.n_probs:
+                    final["completion_probabilities"] = probs_payload()
                 if req.error:
                     final["error"] = req.error
                 self.wfile.write(f"data: {json.dumps(final)}\n\n".encode())
                 return
 
-            req = Request(prompt_ids=ids, n_predict=n_predict,
-                          sampling=_sampling_from_body(body), segments=segments)
+            if stops:
+                # best-effort early cancel: watch committed tokens and stop
+                # the engine as soon as a stop sequence lands (the final
+                # text is truncated either way)
+                from ..tokenizer.stream import StreamDecoder
+
+                wdec = StreamDecoder(tok)
+                seen = {"text": ""}
+
+                def watch(t, _r=req):
+                    seen["text"] += wdec.feed(t)
+                    if any(s in seen["text"] for s in stops):
+                        engine.scheduler.cancel(_r)
+
+                req.stream = watch
             engine.scheduler.submit(req)
             req.done_event.wait()
             if req.error:
                 self._json(503, {"error": req.error})
                 return
             text = tok.decode(req.generated)
+            text, stopped_word = _truncate_at_stop(text, stops)
             if openai:
                 self._json(
                     200,
@@ -209,14 +324,16 @@ def make_handler(engine: EngineState):
                     },
                 )
             else:
-                self._json(
-                    200,
-                    {
-                        "content": text,
-                        "tokens_predicted": len(req.generated),
-                        "tokens_evaluated": len(ids),
-                    },
-                )
+                out = {
+                    "content": text,
+                    "tokens_predicted": len(req.generated),
+                    "tokens_evaluated": len(ids),
+                    "stopped_word": stopped_word is not None,
+                    "stopping_word": stopped_word or "",
+                }
+                if req.n_probs:
+                    out["completion_probabilities"] = probs_payload()
+                self._json(200, out)
 
     return Handler
 
@@ -231,6 +348,7 @@ def serve(
     draft_path: str | None = None,
     spec_params=None,
     mmproj_path: str | None = None,
+    device_lanes: int = 4,
 ):
     ctx, tok = build_context(model_path, n_cells)
     clip = None
@@ -251,7 +369,7 @@ def serve(
         ctx_dft, _ = build_context(draft_path, n_cells, need_tokenizer=False)
         sched = SpecBatchScheduler(
             ctx, ctx_dft, spec_params=spec_params, max_slots=max_slots,
-            eos_id=tok.vocab.eos_id,
+            eos_id=tok.vocab.eos_id, device_lanes=device_lanes,
         )
     else:
         sched = BatchScheduler(ctx, max_slots=max_slots, eos_id=tok.vocab.eos_id)
@@ -276,6 +394,9 @@ def main(argv=None):
     p.add_argument("--n-draft", type=int, default=8, help="draft tree depth (with --draft)")
     p.add_argument("--max-inflight", type=int, default=3,
                    help="speculative runs in flight per slot (with --draft)")
+    p.add_argument("--device-lanes", type=int, default=4,
+                   help="sequence slots served by the batched device loop "
+                   "(greedy/pure-chain requests; 0 disables, with --draft)")
     args = p.parse_args(argv)
     spec = None
     if args.draft:
@@ -285,7 +406,7 @@ def main(argv=None):
                           max_inflight=args.max_inflight)
     httpd, engine = serve(args.model, args.host, args.port, n_cells=args.ctx_size,
                           max_slots=args.slots, draft_path=args.draft, spec_params=spec,
-                          mmproj_path=args.mmproj)
+                          mmproj_path=args.mmproj, device_lanes=args.device_lanes)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:
         httpd.serve_forever()

@@ -44,7 +44,7 @@ from collections import deque
 import numpy as np
 
 from ..runtime.context import AsyncHandle, Batch, CacheFull, InferenceContext
-from ..sampling.samplers import SamplerState, SamplingParams, sample
+from ..sampling.samplers import SamplerState, SamplingParams, sample, top_probs
 from . import corrected, drafting, fused
 from .params import SpecParams
 from .sync_spec import SpecStats, draft_sampler_proto
@@ -178,6 +178,8 @@ class PipeInferController:
         # generation state
         self.prompt: list[int] = []
         self.generated: list[int] = []
+        self._n_probs = 0
+        self.probs: list = []
         self.sampler = SamplerState(params=sampling, grammar=grammar)
 
         # speculation frontier: the chain of assumed (drafted-but-unverified)
@@ -601,6 +603,9 @@ class PipeInferController:
             if run.max_decide != v0:
                 self._discard(run)  # stale (cancel check normally catches this)
                 return False
+            if self._n_probs:
+                self.probs.append(
+                    top_probs(self.sampler, logits[-1], self._n_probs))
             t = sample(self.sampler, logits[-1])
             self.sampler.accept(t)
             self._accept_token(t, stream)
@@ -639,6 +644,9 @@ class PipeInferController:
         s_keep = alive[0]
         while True:
             idx = run.branches[alive[0]].i_batch_tgt[j]
+            if self._n_probs:
+                self.probs.append(
+                    top_probs(self.sampler, logits[idx], self._n_probs))
             t = sample(self.sampler, logits[idx])
             self.sampler.accept(t)
             new_tokens.append(t)
@@ -696,7 +704,11 @@ class PipeInferController:
         self.stats.n_accept += m
         # per-token acceptance evidence: m matches (+ the mismatch, if any)
         self._update_accept_ema(m, m + (1 if m < depth else 0))
-        for t in toks:
+        for i, t in enumerate(toks):
+            if self._n_probs:
+                # row i is the target distribution that decided token i
+                self.probs.append(
+                    top_probs(self.sampler, rows[i], self._n_probs))
             self.sampler.accept(int(t))
             self._accept_token(int(t), stream)
             if self._stopped(n_predict):
@@ -832,13 +844,22 @@ class PipeInferController:
 
     # -- cooperative interface (multi-stream engines drive these directly) --
 
-    def start_generation(self, prompt_ids, n_predict, *, ignore_eos=False, stream=None):
-        """Prefill + state reset; the decode loop is driven by tick()."""
+    def start_generation(self, prompt_ids, n_predict, *, ignore_eos=False,
+                         stream=None, n_probs=0):
+        """Prefill + state reset; the decode loop is driven by tick().
+
+        n_probs > 0 records the top-n (token_id, prob) of the target
+        distribution per committed token into `self.probs` — on the
+        host-verified paths from the sampled row, on the device-corrected
+        path from the sparse logits head that shipped with each run
+        (server n_probs parity, ref: server.cpp:722,1106-1123)."""
         self.prompt = list(prompt_ids)
         self._ignore_eos = ignore_eos
         self._stopped_flag = False
         self._n_predict = n_predict
         self._stream_cb = stream
+        self._n_probs = n_probs
+        self.probs: list = []
         for t in prompt_ids:
             self.sampler.accept(t, apply_grammar=False)
 

@@ -50,16 +50,18 @@ from .params import SpecParams
 from .sync_spec import SpecStats
 
 
-def _rm_stream_tails(cache: kv.KVCache, bases: jax.Array, n_streams: int) -> kv.KVCache:
+def _rm_stream_tails(cache: kv.KVCache, bases: jax.Array, n_streams: int,
+                     seq_base: int = 0) -> kv.KVCache:
     """Vectorized per-stream tail rollback: free every cell that belongs to
-    stream s at pos >= bases[s], for all s at once. Loop-written cells are
-    single-membership (each belongs to exactly its stream), so clearing the
-    whole seq row of a hit cell is exact; committed prompt cells sit at
-    pos < bases[s] and are never hit. (Per-seq counterpart of kv.rm_tail —
-    ref: llama_kv_cache_seq_rm per seq, llama.cpp:9245-9268.)"""
+    stream s (sequence slot seq_base+s) at pos >= bases[s], for all s at
+    once. Loop-written cells are single-membership (each belongs to exactly
+    its stream), so clearing the whole seq row of a hit cell is exact;
+    committed prompt cells sit at pos < bases[s] and are never hit.
+    (Per-seq counterpart of kv.rm_tail — ref: llama_kv_cache_seq_rm per
+    seq, llama.cpp:9245-9268.)"""
     hit = jnp.zeros(cache.pos.shape, bool)
     for s in range(n_streams):  # static unroll: S small, one mask op each
-        hit |= kv._member(cache.seq, jnp.int32(s)) & (cache.pos >= bases[s])
+        hit |= kv._member(cache.seq, jnp.int32(seq_base + s)) & (cache.pos >= bases[s])
     new_seq = jnp.where(hit[:, None], jnp.uint32(0), cache.seq)
     new_pos = jnp.where(hit, -1, cache.pos)
     return dataclasses.replace(cache, pos=new_pos, seq=new_seq)
@@ -67,9 +69,12 @@ def _rm_stream_tails(cache: kv.KVCache, bases: jax.Array, n_streams: int) -> kv.
 
 @functools.lru_cache(maxsize=None)
 def _shared_batched_loop(fwd_d, cfg_d, fwd_t, cfg_t, depth, rounds, n_streams,
-                         dsamp=None, tsample=False):
+                         dsamp=None, tsample=False, seq_base=0):
     """S-stream R-round speculative loop program (device_loop's
-    _shared_device_loop with a stream axis). Stream s uses sequence slot s.
+    _shared_device_loop with a stream axis). Stream s uses sequence slot
+    seq_base+s (seq_base>0 lets the loop share contexts with other engines
+    whose streams own the lower slots — the serving scheduler's windowed
+    path, serving/batching.py).
 
     active [S] bool: padding mask for streams retired at dispatch time —
     their rows decode as invalid (no KV writes), their m is forced 0 and
@@ -82,7 +87,7 @@ def _shared_batched_loop(fwd_d, cfg_d, fwd_t, cfg_t, depth, rounds, n_streams,
              dcells, tcells, *key):
         # roots/bases i32 [S]; active bool [S];
         # dcells [R, S, depth]; tcells [R, S, depth+1]
-        seqs = jnp.arange(S, dtype=jnp.int32)
+        seqs = seq_base + jnp.arange(S, dtype=jnp.int32)
 
         def round_body(carry, xs):
             dcache, tcache, roots, bases = carry
@@ -142,8 +147,8 @@ def _shared_batched_loop(fwd_d, cfg_d, fwd_t, cfg_t, depth, rounds, n_streams,
             new_bases = bases + jnp.where(active, m + 1, 0)
 
             # 4) roll back every stream's rejected cells (both caches)
-            dcache = _rm_stream_tails(dcache, new_bases, S)
-            tcache = _rm_stream_tails(tcache, new_bases, S)
+            dcache = _rm_stream_tails(dcache, new_bases, S, seq_base)
+            tcache = _rm_stream_tails(tcache, new_bases, S, seq_base)
 
             # pack row [S, depth+2]: per stream, m accepted tokens ++ bonus
             # at slot m ++ zeros, then m
@@ -416,3 +421,413 @@ class BatchedDeviceLoop:
             ctx.h_seq[flat[:keep]] = kv.host_only(seq)
         ctx.h_pos[flat[keep:]] = -1
         ctx.h_seq[flat[keep:]] = 0
+
+
+@dataclasses.dataclass
+class LaneHandle:
+    """Serving-side handle for one DeviceLoopServer request."""
+
+    prompt_ids: list
+    n_predict: int
+    on_token: object = None  # callable(tok) per committed token
+    ignore_eos: bool = False
+    tokens: list = dataclasses.field(default_factory=list)
+    done: bool = False
+    error: str | None = None
+    cancel: bool = False  # cooperative early stop (server stop sequences)
+    stats: SpecStats = dataclasses.field(default_factory=SpecStats)
+    # internal lane binding
+    _lane: int = -1
+    _host_base: int = 0
+    _retiring: bool = False  # done, waiting for in-flight packs to drain
+
+
+class DeviceLoopServer:
+    """Continuous-batching server over the S-lane batched device loop.
+
+    BatchedDeviceLoop decodes one fixed batch to completion; serving needs
+    requests to hot-join and leave. This wrapper keeps the same compiled
+    (S, depth, rounds) program but drives it incrementally from a
+    scheduler `step()`: a finished lane's sequence slot is reclaimed and
+    reseeded with the next queued request WITHOUT stopping the other lanes
+    — lanes retire/join by flipping the dispatch-time `active` mask, and
+    the chained (roots, bases) device vectors get lane-wise updates (a
+    masked `where`, no host round-trip). The TPU-native counterpart of the
+    reference server's slot scheduler (ref: examples/server/server.cpp
+    :377-463 slot reuse; examples/parallel/parallel.cpp:238-274 hot-join).
+
+    Sampler envelope = device_loop.supported with ONE compiled chain for
+    all lanes (greedy by default); the serving scheduler routes anything
+    else to the host-verified MultiPipeInfer engine. Lanes own sequence
+    slots [seq_base, seq_base + n_lanes), so both engines can share the
+    same contexts with disjoint slot namespaces.
+    """
+
+    MAX_INFLIGHT = 2
+
+    def __init__(
+        self,
+        ctx_tgt: InferenceContext,
+        ctx_dft: InferenceContext,
+        sampling,
+        sp: SpecParams,
+        *,
+        n_lanes: int,
+        seq_base: int = 0,
+        eos_id: int = 2,
+        rounds: int = 4,
+    ):
+        if getattr(ctx_tgt, "mesh", object()) is not None or \
+                getattr(ctx_dft, "mesh", object()) is not None:
+            raise ValueError("DeviceLoopServer needs single-device contexts")
+        if not supported(sampling):
+            raise ValueError("sampler chain needs host verification; use spec.multi")
+        if n_lanes < 1 or seq_base + n_lanes > 32 * kv.SEQ_WORDS:
+            raise ValueError(
+                f"lanes [{seq_base}, {seq_base + n_lanes}) exceed "
+                f"{32 * kv.SEQ_WORDS} sequence slots"
+            )
+        self.tgt = ctx_tgt
+        self.dft = ctx_dft
+        self.sampling = sampling
+        self.sp = sp
+        self.S = n_lanes
+        self.seq_base = seq_base
+        self.eos_id = eos_id
+        self.rounds = rounds
+        self._seed = sampling.seed if sampling.seed >= 0 else None
+        if self._seed is not None:
+            self._seed_base = self._seed
+        else:
+            import os
+
+            self._seed_base = int.from_bytes(os.urandom(4), "little")
+        self._key_i = 0
+        self.lanes: list[LaneHandle | None] = [None] * n_lanes
+        self.queue: list[LaneHandle] = []
+        self.inflight: list = []  # (future, active[S], dcells, tcells)
+        # per-lane count of in-flight packs that carry the lane as active:
+        # a lane may only be reseeded (or its seq trimmed) once quiescent
+        self._lane_inflight = np.zeros(n_lanes, np.int64)
+        self.roots_dev = jnp.zeros(n_lanes, jnp.int32)
+        self.bases_dev = jnp.zeros(n_lanes, jnp.int32)
+        self._loop = None
+
+    # -- routing ------------------------------------------------------------
+
+    def compatible(self, sampling) -> bool:
+        """Can this request ride the compiled device chain? Greedy requests
+        match a greedy server; stochastic requests must match the chain
+        tuple exactly and be unseeded (per-request seeds are only exactly
+        reproducible on the host path)."""
+        if not supported(sampling):
+            return False
+        if self.sampling.temp <= 0:
+            return sampling.temp <= 0
+        if sampling.temp <= 0 or sampling.seed >= 0:
+            return False
+        from .fused import draft_samp
+
+        return draft_samp(sampling) == draft_samp(self.sampling)
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def submit(self, prompt_ids, n_predict, *, on_token=None,
+               ignore_eos=False) -> LaneHandle:
+        if not prompt_ids:
+            raise ValueError("empty prompt")
+        h = LaneHandle(prompt_ids=list(prompt_ids), n_predict=n_predict,
+                       on_token=on_token, ignore_eos=ignore_eos)
+        self.queue.append(h)
+        return h
+
+    @property
+    def busy(self) -> bool:
+        return bool(self.queue) or bool(self.inflight) or any(
+            h is not None for h in self.lanes
+        )
+
+    # -- engine step ---------------------------------------------------------
+
+    def step(self, block: bool = False) -> int:
+        """One scheduler iteration: collect ready packs, retire quiescent
+        lanes, admit queued requests, dispatch. Non-blocking by default
+        (returns 0 when only waiting on an in-flight fetch); block=True
+        waits for the oldest pack instead of spinning."""
+        progress = 0
+        for h in self.lanes:  # canceled lanes retire at the step boundary
+            if h is not None and h.cancel:
+                h._retiring = True
+        for h in list(self.queue):
+            if h.cancel:
+                self.queue.remove(h)
+                h.done = True
+        progress += self._collect(block=block)
+        self._retire_quiescent()
+        if self.queue:
+            progress += self._admit()
+        while len(self.inflight) < self.MAX_INFLIGHT and self._dispatch():
+            progress += 1
+        return progress
+
+    def run_until_idle(self):
+        while self.busy:
+            made = self.step(block=True)
+            if made == 0 and not self.inflight and self.queue and all(
+                h is None for h in self.lanes
+            ):
+                raise RuntimeError(
+                    "device loop server could not admit (KV cache too small)"
+                )
+
+    # -- internals -----------------------------------------------------------
+
+    def _loop_fn(self):
+        if self._loop is None:
+            from . import fused
+
+            dsamp = fused.draft_samp(self.sampling)
+            tsample = self.sampling.temp > 0
+            self._loop = _shared_batched_loop(
+                self.dft._forward, self.dft.cfg, self.tgt._forward,
+                self.tgt.cfg, self.sp.n_draft, self.rounds, self.S,
+                dsamp, tsample, self.seq_base,
+            )
+        return self._loop
+
+    def _admit(self) -> int:
+        """Seed queued requests into free quiescent lanes: one batched
+        prefill per model for ALL admissions this step (the
+        BatchedDeviceLoop prefill shape), then lane-wise (roots, bases)
+        device updates."""
+        free = [
+            i for i, h in enumerate(self.lanes)
+            if h is None and self._lane_inflight[i] == 0
+        ]
+        if not free:
+            return 0
+        take = []
+        usable = min(self.tgt.n_cells, self.dft.n_cells) - 1
+        free_cells = int((self.tgt.h_pos < 0).sum()) - 1
+        for h in list(self.queue):
+            if len(take) >= len(free):
+                break
+            need = len(h.prompt_ids) + h.n_predict + \
+                self.rounds * (2 * self.sp.n_draft + 1)
+            if need > usable:
+                self.queue.remove(h)
+                h.error = (
+                    f"prompt + n_predict needs {need} KV cells, cache has {usable}"
+                )
+                h.done = True
+                continue
+            if need > free_cells:
+                break  # wait for running lanes to release cells
+            free_cells -= need
+            self.queue.remove(h)
+            take.append(h)
+        if not take:
+            return 0
+
+        topk = min(128, self.tgt.cfg.n_vocab)
+        bt, bd = Batch(), Batch()
+        for h, lane in zip(take, free):
+            seq = self.seq_base + lane
+            self.tgt.seq_rm(seq, 0, -1)
+            self.dft.seq_rm(seq, 0, -1)
+            for i, t in enumerate(h.prompt_ids):
+                last = i == len(h.prompt_ids) - 1
+                bt.add(t, i, seq, want_logits=last)
+                bd.add(t, i, seq, want_logits=last)
+        try:
+            dh = self.dft.decode_async(bd, topk=min(128, self.dft.cfg.n_vocab))
+            rows = self.tgt.decode(bt, topk=topk)
+            del dh
+        except CacheFull:
+            # admission raced another engine on the shared pool: requeue
+            for h, lane in zip(take, free):
+                self.tgt.seq_rm(self.seq_base + lane, 0, -1)
+                self.dft.seq_rm(self.seq_base + lane, 0, -1)
+            self.queue = take + self.queue
+            return 0
+        ends = np.cumsum([len(h.prompt_ids) for h in take]) - 1
+
+        mask = np.zeros(self.S, bool)
+        roots = np.zeros(self.S, np.int32)
+        bases = np.zeros(self.S, np.int32)
+        n_done_now = 0
+        for j, (h, lane) in enumerate(zip(take, free)):
+            row = rows[ends[j]]
+            if self.sampling.temp > 0:
+                from ..sampling.samplers import SamplerState, sample
+
+                sp_s = self.sampling
+                if sp_s.seed >= 0:
+                    sp_s = dataclasses.replace(
+                        sp_s, seed=sp_s.seed + 1000003 * lane)
+                root = int(sample(SamplerState(params=sp_s), row))
+            else:
+                root = int(row.ids[0])
+            h.tokens.append(root)
+            h.stats.n_predict = 1
+            if h.on_token:
+                h.on_token(root)
+            h._lane = lane
+            h._host_base = len(h.prompt_ids)
+            if h.n_predict <= 1 or (
+                not h.ignore_eos and root == self.eos_id
+            ):
+                h._retiring = True
+                n_done_now += 1
+            self.lanes[lane] = h
+            mask[lane], roots[lane], bases[lane] = True, root, len(h.prompt_ids)
+
+        # lane-wise update of the chained device vectors (no fetch: a
+        # masked where keeps the dispatch pipeline asynchronous)
+        mask_d = jnp.asarray(mask)
+        self.roots_dev = jnp.where(mask_d, jnp.asarray(roots), self.roots_dev)
+        self.bases_dev = jnp.where(mask_d, jnp.asarray(bases), self.bases_dev)
+        self._retire_quiescent()
+        return len(take)
+
+    def _dispatch(self) -> bool:
+        live = [
+            h is not None and not h._retiring and len(h.tokens) < h.n_predict
+            for h in self.lanes
+        ]
+        if not any(live):
+            return False
+        R, depth, S = self.rounds, self.sp.n_draft, self.S
+        bound = len(self.inflight) * R * (depth + 1)
+        if self.inflight and all(
+            (not lv) or len(h.tokens) + bound >= h.n_predict
+            for lv, h in zip(live, self.lanes)
+        ):
+            return False
+        try:
+            dcells = self.dft.find_cells(R * S * depth).reshape(R, S, depth)
+            tcells = self.tgt.find_cells(R * S * (depth + 1)).reshape(R, S, depth + 1)
+        except CacheFull:
+            return False
+        active = np.array(live)
+        for lane, h in enumerate(self.lanes):
+            # mark EVERY allocated cell (inactive lanes' scratch included):
+            # unmarked cells would be handed out again by the next
+            # dispatch's find_cells while this one is still in flight, and
+            # the inactive-row reclaim at collect would then free cells the
+            # newer dispatch is actively using (mirror corruption)
+            hint = (h._host_base if active[lane] else 0) \
+                + len(self.inflight) * R * (depth + 1)
+            # inactive scratch carries NO seq membership (seq=0 bits):
+            # a lane retire's seq_rm must not free cells an in-flight
+            # pack still owns
+            seq_bits = kv.host_only(self.seq_base + lane) if active[lane] \
+                else np.zeros_like(kv.host_only(0))
+            dflat = dcells[:, lane, :].reshape(-1)
+            tflat = tcells[:, lane, :].reshape(-1)
+            self.dft.h_pos[dflat] = hint + np.arange(R * depth)
+            self.dft.h_seq[dflat] = seq_bits
+            self.tgt.h_pos[tflat] = hint + np.arange(R * (depth + 1))
+            self.tgt.h_seq[tflat] = seq_bits
+        extra = ()
+        if self.sampling.temp > 0:
+            extra = (jax.random.PRNGKey(
+                self._seed_base * 9176 + self._key_i),)
+            self._key_i += 1
+        loop = self._loop_fn()
+        pack, roots2, bases2, self.dft.cache, self.tgt.cache = loop(
+            self.dft.params, self.dft.cache, self.tgt.params, self.tgt.cache,
+            self.roots_dev, self.bases_dev, jnp.asarray(active),
+            dcells.astype(np.int32), tcells.astype(np.int32), *extra,
+        )
+        fut = self.tgt._fetch_pool.submit(lambda p=pack: np.asarray(p))
+        self.inflight.append((fut, active, dcells, tcells))
+        self._lane_inflight[active] += 1
+        self.roots_dev, self.bases_dev = roots2, bases2
+        return True
+
+    def _collect(self, block: bool = False) -> int:
+        n_committed = 0
+        R, depth = self.rounds, self.sp.n_draft
+        while self.inflight and (block or self.inflight[0][0].done()):
+            block = False  # only block for the oldest pack
+            fut, active, dcells, tcells = self.inflight.pop(0)
+            host_pack = fut.result()  # [R, S, depth+2]
+            for lane in range(self.S):
+                h = self.lanes[lane]
+                if not active[lane]:
+                    _reclaim_cells(self.dft, dcells[:, lane, :], 0, 0)
+                    _reclaim_cells(self.tgt, tcells[:, lane, :], 0, 0)
+                    continue
+                self._lane_inflight[lane] -= 1
+                seq = self.seq_base + lane
+                h.stats.n_rounds += R
+                for r in range(R):
+                    m = int(host_pack[r, lane, depth + 1])
+                    h.stats.n_drafted += depth
+                    _reclaim_cells(self.dft, dcells[r, lane],
+                                   min(m + 1, depth), h._host_base, seq)
+                    _reclaim_cells(self.tgt, tcells[r, lane],
+                                   m + 1, h._host_base, seq)
+                    h._host_base += m + 1
+                    if h._retiring:
+                        h.stats.n_drafted_unverified += depth
+                        continue
+                    h.stats.n_accept += m
+                    for t in host_pack[r, lane, : m + 1].tolist():
+                        h.tokens.append(int(t))
+                        n_committed += 1
+                        if h.on_token:
+                            h.on_token(int(t))
+                        if len(h.tokens) >= h.n_predict or (
+                            not h.ignore_eos and t == self.eos_id
+                        ):
+                            h._retiring = True
+                            break
+        return n_committed
+
+    def abort_all(self, msg: str):
+        """Fail every queued and in-flight request (engine-fault path):
+        waiting callers see .error instead of hanging forever."""
+        for h in self.queue + [h for h in self.lanes if h is not None]:
+            h.error = msg
+            h.done = True
+        self.queue = []
+        for lane in range(self.S):
+            if self.lanes[lane] is not None:
+                self.tgt.seq_rm(self.seq_base + lane, 0, -1)
+                self.dft.seq_rm(self.seq_base + lane, 0, -1)
+                self.lanes[lane] = None
+        self.inflight = []
+        self._lane_inflight[:] = 0
+
+    def _retire_quiescent(self):
+        """Free lanes whose stream finished AND whose in-flight packs have
+        all been collected — only then is the seq-slot trim safe (an
+        in-flight pack dispatched while the lane was live will still
+        commit cells to its sequence)."""
+        for lane, h in enumerate(self.lanes):
+            if h is None or not h._retiring or self._lane_inflight[lane]:
+                continue
+            h.tokens = h.tokens[: h.n_predict]
+            h.stats.n_predict = len(h.tokens)
+            seq = self.seq_base + lane
+            # full clear (not a frontier trim): the request is done, and
+            # its cells go back to the pool shared with the host-verified
+            # engine (BatchScheduler._finish does the same)
+            self.tgt.seq_rm(seq, 0, -1)
+            self.dft.seq_rm(seq, 0, -1)
+            self.lanes[lane] = None
+            h.done = True
+
+
+def _reclaim_cells(ctx: InferenceContext, cells, keep: int, base: int,
+                   seq: int = 0):
+    """Reconcile host mirrors with device truth for one round's cells
+    (module-level twin of BatchedDeviceLoop._reclaim)."""
+    flat = np.asarray(cells).reshape(-1)
+    if keep:
+        ctx.h_pos[flat[:keep]] = base + np.arange(keep)
+        ctx.h_seq[flat[:keep]] = kv.host_only(seq)
+    ctx.h_pos[flat[keep:]] = -1
+    ctx.h_seq[flat[keep:]] = 0

@@ -43,12 +43,15 @@ class SpecRequest:
     sampling: SamplingParams | None = None
     stream: object = None  # callable(token) or None
     ignore_eos: bool = False
+    grammar: object = None  # parsed GrammarState (server grammar parity)
+    n_probs: int = 0  # record top-n (id, prob) per token into `probs`
     t_submit: float = field(default_factory=time.perf_counter)
 
     # filled by the engine
     ctrl: PipeInferController | None = None
     seq_base: int = -1
     tokens: list[int] = field(default_factory=list)
+    probs: list = field(default_factory=list)
     done: bool = False
     error: str | None = None
     t_start: float = -1.0
@@ -83,6 +86,7 @@ class MultiPipeInfer:
         *,
         eos_id: int = 2,
         max_streams: int | None = None,
+        max_seqs: int | None = None,
     ):
         self.tgt = ctx_tgt
         self.dft = ctx_dft
@@ -90,7 +94,9 @@ class MultiPipeInfer:
         self.sp = sp
         self.eos_id = eos_id
         self.stride = 1 + sp.n_parallel * sp.max_inflight
-        cap = MAX_SEQS // self.stride
+        # max_seqs < MAX_SEQS carves the upper sequence slots out for a
+        # co-resident engine (the serving scheduler's device lanes)
+        cap = (max_seqs or MAX_SEQS) // self.stride
         self.max_streams = min(max_streams, cap) if max_streams else cap
         self.free_bases: deque[int] = deque(
             i * self.stride for i in range(self.max_streams)
@@ -111,6 +117,8 @@ class MultiPipeInfer:
         sampling: SamplingParams | None = None,
         stream=None,
         ignore_eos: bool = False,
+        grammar=None,
+        n_probs: int = 0,
     ) -> SpecRequest:
         req = SpecRequest(
             id=next(self._ids),
@@ -119,9 +127,26 @@ class MultiPipeInfer:
             sampling=sampling,
             stream=stream,
             ignore_eos=ignore_eos,
+            grammar=grammar,
+            n_probs=n_probs,
         )
         self.pending.append(req)
         return req
+
+    def cancel(self, req: SpecRequest):
+        """Cooperative early stop (the server's stop-sequence path): a
+        pending request is failed out of the queue; a running one stops at
+        its next scheduling quantum and drains normally."""
+        if req.done:
+            return
+        if req in self.pending:
+            self.pending.remove(req)
+            req.tokens = []
+            req.done = True
+            req.t_done = time.perf_counter()
+            return
+        if req.ctrl is not None:
+            req.ctrl._stopped_flag = True
 
     def _admit(self):
         usable = min(self.tgt.n_cells, self.dft.n_cells) - 1
@@ -153,6 +178,7 @@ class MultiPipeInfer:
                     base + 1 + i * self.sp.n_parallel
                     for i in range(self.sp.max_inflight)
                 ),
+                grammar=req.grammar,
             )
             req.ctrl = ctrl
             req.seq_base = base
@@ -160,6 +186,7 @@ class MultiPipeInfer:
             ctrl.start_generation(
                 req.prompt_ids, req.n_predict,
                 ignore_eos=req.ignore_eos, stream=req.stream,
+                n_probs=req.n_probs,
             )
             self.active.append(req)
 
@@ -167,6 +194,7 @@ class MultiPipeInfer:
         if req.done or not req.ctrl.done:
             return
         req.tokens = req.ctrl.finish_generation()
+        req.probs = req.ctrl.probs
         req.done = True
         req.t_done = time.perf_counter()
         # reclaim every slot in this stream's namespace (committed cells live
