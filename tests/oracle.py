@@ -287,9 +287,15 @@ def ref_speculative(
     n_parallel: int = 1,
     p_accept: float = 0.5,
     p_split: float = 0.1,
+    temp: float = 0.0,
+    seed: int | None = None,
 ) -> dict | None:
     """Run the reference speculative_orig binary; returns its printed
-    metrics {n_drafted, n_accept, accept} or None if unavailable."""
+    metrics {n_drafted, n_accept, accept} or None if unavailable.
+
+    temp > 0 exercises the binary's stochastic target sampler (drafts stay
+    greedy-with-probs, speculative_orig/speculative.cpp:211); pass `seed`
+    for reproducible runs."""
     binpath = get_spec_oracle()
     if binpath is None:
         return None
@@ -300,11 +306,13 @@ def ref_speculative(
             "-p", prompt, "-n", str(n_predict),
             "--draft", str(n_draft), "-np", str(n_parallel),
             "-pa", str(p_accept), "-ps", str(p_split),
-            # target sampler: plain greedy (the binary itself forces
+            # target sampler: greedy by default (the binary itself forces
             # temp=-1 "greedy with probs" for the DRAFT samplers,
             # speculative_orig/speculative.cpp:211; the CLI clamps --temp
             # to >= 0 anyway, common.cpp:320)
-            "--temp", "0", "--repeat-penalty", "1.0", "--repeat-last-n", "0",
+            "--temp", str(temp),
+            "--repeat-penalty", "1.0", "--repeat-last-n", "0",
+            *(["--seed", str(seed)] if seed is not None else []),
             "--mpi-layer-split", "1.0/1.0",
             "-c", "512", "--threads", "2",
         ],

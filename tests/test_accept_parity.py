@@ -126,3 +126,108 @@ def test_acceptance_within_2pct_of_reference(tmp_path, size):
         f"acceptance diverges: ours {100 * our_rate:.2f}% vs "
         f"reference {100 * ref_rate:.2f}% (BASELINE requires ±2%)"
     )
+
+
+# ---- async controller parity (round-4 verdict item 8: the ±2% BASELINE
+# bound previously covered only the sync speculator at temp=0) ----------
+
+SPEC_NOGATE = dict(n_draft=5, n_parallel=1, p_accept=0.0, p_split=0.1)
+# p_accept=0 in BOTH engines: the async controller's device-corrected
+# drafting has no confidence gate (fixed-depth device chains), so parity
+# must be measured without the reference's early-stop gate either —
+# acceptance then compares the model pair's intrinsic agreement
+# (ref: speculative.cpp:846-848 p_adjust is the gate being disabled).
+
+
+@pytest.fixture(scope="module")
+def trained_small(tmp_path_factory):
+    d = tmp_path_factory.mktemp("parity")
+    with GGUFReader(VOCAB_FIXTURE) as r:
+        tok = tokenizer_from_gguf(r)
+    tgt, dft = d / "tgt.gguf", d / "dft.gguf"
+    loss_t = _train_model(tgt, n_layers=2, seed=1, steps=220, tok=tok)
+    loss_d = _train_model(dft, n_layers=1, seed=2, steps=160, tok=tok)
+    assert loss_t < 1.5 and loss_d < 2.5, (loss_t, loss_d)
+    return tgt, dft, tok
+
+
+def _ctxs(tgt, dft):
+    params_t, cfg_t = load_model(tgt)
+    params_d, cfg_d = load_model(dft)
+    return (
+        InferenceContext(params_t, cfg_t, n_cells=512, cache_dtype=jnp.float32),
+        InferenceContext(params_d, cfg_d, n_cells=512, cache_dtype=jnp.float32),
+    )
+
+
+@pytest.mark.skipif(oracle.get_spec_oracle() is None, reason="no reference toolchain")
+def test_async_controller_acceptance_parity(trained_small):
+    """PipeInferController (not just the sync speculator) holds the ±2%
+    BASELINE acceptance bound vs the reference binary at temp=0."""
+    from pipeinfer_tpu.spec.controller import PipeInferController
+
+    tgt, dft, tok = trained_small
+    ref = oracle.ref_speculative(str(tgt), str(dft), PROMPT, N_PREDICT,
+                                 **SPEC_NOGATE)
+    assert ref is not None and ref["n_drafted"] > 0
+    ctx_t, ctx_d = _ctxs(tgt, dft)
+    ctrl = PipeInferController(
+        ctx_t, ctx_d,
+        SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0),
+        SpecParams(**SPEC_NOGATE),
+        eos_id=tok.vocab.eos_id,
+    )
+    ids = tok.encode(PROMPT, add_bos=True)
+    ctrl.generate(ids, N_PREDICT)
+    st = ctrl.stats
+    assert st.n_drafted > st.n_drafted_unverified
+    # decided acceptance: drafts that reached a verdict (the controller's
+    # final run can retire with an unverified tail)
+    our_rate = st.accept_rate_decided
+    print(f"controller: {100 * our_rate:.1f}% vs reference "
+          f"{100 * ref['accept']:.1f}% "
+          f"({st.n_accept}/{st.n_drafted - st.n_drafted_unverified})")
+    assert abs(our_rate - ref["accept"]) <= 0.02
+
+
+@pytest.mark.skipif(oracle.get_spec_oracle() is None, reason="no reference toolchain")
+def test_stochastic_acceptance_within_statistical_bound(trained_small):
+    """temp>0: stochastic target sampling on both sides. Exact streams
+    differ (independent rngs; the reference drafts greedily while our
+    device chain samples the draft), so parity is a bound on MEAN
+    acceptance across seeds — catching gross divergence (a broken
+    stochastic verifier accepting everything reads ~100%)."""
+    from pipeinfer_tpu.spec.controller import PipeInferController
+
+    tgt, dft, tok = trained_small
+    TEMP, SEEDS = 0.5, (3, 7, 11)
+    refs = [
+        oracle.ref_speculative(str(tgt), str(dft), PROMPT, N_PREDICT,
+                               temp=TEMP, seed=s, **SPEC_NOGATE)
+        for s in SEEDS
+    ]
+    refs = [r for r in refs if r is not None and r["n_drafted"] > 0]
+    assert refs, "reference stochastic runs failed"
+    ref_mean = sum(r["accept"] for r in refs) / len(refs)
+
+    ids = tok.encode(PROMPT, add_bos=True)
+    ours = []
+    for s in SEEDS:
+        ctx_t, ctx_d = _ctxs(tgt, dft)
+        ctrl = PipeInferController(
+            ctx_t, ctx_d,
+            SamplingParams(temp=TEMP, penalty_repeat=1.0, penalty_last_n=0,
+                           top_k=40, top_p=1.0, min_p=0.0, seed=s),
+            SpecParams(**SPEC_NOGATE),
+            eos_id=tok.vocab.eos_id,
+        )
+        ctrl.generate(ids, N_PREDICT)
+        st = ctrl.stats
+        if st.n_drafted > st.n_drafted_unverified:
+            ours.append(st.accept_rate_decided)
+    assert ours, "controller drafted nothing"
+    our_mean = sum(ours) / len(ours)
+    print(f"stochastic accept: ours {100 * our_mean:.1f}% vs reference "
+          f"{100 * ref_mean:.1f}% (temp={TEMP}, {len(ours)}/{len(refs)} runs)")
+    assert abs(our_mean - ref_mean) <= 0.12
+    assert our_mean < 0.999, "stochastic verification must reject sometimes"

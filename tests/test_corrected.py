@@ -205,3 +205,31 @@ def test_corrected_no_cell_leaks(pair):
     c2 = PipeInferController(tctx, dctx, GREEDY, sp, eos_id=-1)
     out2 = c2.generate(list(PROMPT), N, ignore_eos=True)
     assert out1 == out2
+
+
+def test_p_chain_gate_cuts_dead_work(pair):
+    """The chain-survival launch gate (SpecParams.p_chain, round-4 verdict
+    item 9): on the ASSUME-chained host-verified path with a ~50%-divergent
+    draft, a high bar refuses chained runs whose assumed prefix is doomed
+    (survival accept_ema**L below p_chain), so cross-run dead work drops —
+    while min_inflight keeps the pipeline from emptying and greedy output
+    stays exact (the gate only skips launches, never verification)."""
+    tgt, dft = pair
+    want = _plain_greedy(tgt, PROMPT, N)
+    dead = {}
+    canceled = {}
+    for pc in (0.0, 0.9):
+        sp = SpecParams(n_draft=4, n_parallel=1, p_accept=0.0, p_split=0.9,
+                        max_inflight=4, adapt_depth=False,
+                        device_verify=False, p_chain=pc)
+        c = PipeInferController(_ctx(tgt, 4096), _ctx(dft, 4096), GREEDY, sp,
+                                eos_id=-1)
+        out = c.generate(list(PROMPT), N)
+        assert out == want, f"p_chain={pc} broke greedy exactness"
+        dead[pc] = c.metrics.dead_work_frac
+        canceled[pc] = c.metrics.n_canceled_runs
+    # at ~50% acceptance the EMA sits near 0.5: survival 0.5**L < 0.9 for
+    # every assumed prefix, so the gate blocks all chained launches beyond
+    # min_inflight — fewer doomed runs, less dead work and cancellation
+    assert dead[0.9] < dead[0.0], (dead, canceled)
+    assert canceled[0.9] <= canceled[0.0], (dead, canceled)
