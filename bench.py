@@ -216,14 +216,46 @@ def main():
 
         return run
 
+    # the corrected-chaining controller (spec/corrected.py) runs one
+    # draft+verify program per rung; warm greedy AND stochastic variants
+    from pipeinfer_tpu.spec.corrected import _shared_corrected_spec
+
+    def warm_corrected(depth, samp=None, tsample=False):
+        def run():
+            fn = _shared_corrected_spec(
+                ctx_d._forward, dcfg, ctx_t._forward, tcfg, depth, TOPK,
+                samp, tsample,
+            )
+            dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
+            tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
+            extra = ()
+            if samp is not None:
+                extra = (_jax.random.PRNGKey(0),)
+            out, _, _, _, _ = fn(
+                ctx_d.params, dc, ctx_t.params, tc,
+                np.int32(1), np.int32(0), np.int32(0),
+                np.full(depth, ctx_d.trash_cell, np.int32),
+                np.full(depth + 1, ctx_t.trash_cell, np.int32),
+                *extra,
+            )
+            np.asarray(out[0, 0])
+            return []
+
+        return run
+
     # adaptive depth compiles a ladder of fused variants (SpecParams.ladder):
     # warm every rung this bench can reach, including the degraded row's
     fused_depths = set(SpecParams(n_draft=n_draft).ladder())
     if not args.quick and args.eps == 0.0 and not args.no_degraded:
         fused_depths |= set(SpecParams(n_draft=8).ladder())
+    STOCH_SAMP = (0.8, 40, 0.95, 0.05)  # draft_samp of the stochastic rows
 
     t0 = time.time()
-    with cf.ThreadPoolExecutor(max_workers=3 + len(fused_depths)) as ex:
+    corr_jobs = [warm_corrected(d) for d in sorted(fused_depths)]
+    if not args.quick and not args.no_degraded:
+        corr_jobs += [warm_corrected(d, STOCH_SAMP, True)
+                      for d in sorted(fused_depths)]
+    with cf.ThreadPoolExecutor(max_workers=3 + len(fused_depths) + len(corr_jobs)) as ex:
         futs = [
             ex.submit(ctx_t.precompile, buckets=tuple({1, 32, _bucket(len(prompt))}),
                       topk=TOPK,
@@ -231,7 +263,9 @@ def main():
             ex.submit(ctx_d.precompile, buckets=tuple({32, _bucket(len(prompt))}),
                       topk=TOPK,  # draft prefill ships the sparse pack
                       chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
-        ] + [ex.submit(warm_fused(d)) for d in sorted(fused_depths)]
+        ] + [ex.submit(warm_fused(d)) for d in sorted(fused_depths)] + [
+            ex.submit(j) for j in corr_jobs
+        ]
         errs = []
         for f in futs:
             errs += f.result()
@@ -341,8 +375,9 @@ def main():
     spec_dt = time.time() - t0
     spec_tps = len(spec_tokens) / spec_dt
     st, m = c.stats, c.metrics
+    mode = "corrected" if c.use_corrected else ("fused" if c.use_fused else "host")
     log(
-        f"pipeinfer decode: {spec_tps:.2f} tok/s ({spec_dt:.1f}s), "
+        f"pipeinfer decode [{mode}]: {spec_tps:.2f} tok/s ({spec_dt:.1f}s), "
         f"accept {100 * st.accept_rate:.1f}% ({st.n_accept}/{st.n_drafted}), "
         f"decided accept {100 * st.accept_rate_decided:.1f}% "
         f"({st.n_drafted_unverified} unverified), "
@@ -357,6 +392,29 @@ def main():
     k = min(len(base_tokens), len(spec_tokens))
     if spec_tokens[:k] != base_tokens[:k]:
         log("WARNING: speculative tokens diverge from baseline (greedy)")
+
+    # host-verified controller on the SAME pair/machine (the r3/r4 measured
+    # path, device_verify=False): apples-to-apples progression next to the
+    # corrected number, so machine-day variance can't masquerade as a code
+    # regression (round-4 verdict: explain the 510->448 delta)
+    hostverify = None
+    if c.use_corrected and not args.quick:
+        sp_hv = SpecParams(n_draft=n_draft, n_parallel=1, p_accept=0.1,
+                           p_split=0.9, max_inflight=args.inflight,
+                           device_verify=False, **sp_kw)
+        hv = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams, dcfg, n_cells=n_cells),
+            GREEDY, sp_hv, eos_id=-1,
+        )
+        t0 = time.time()
+        hv_tokens = hv.generate(list(prompt), n_predict)
+        hv_dt = time.time() - t0
+        hv_tps = len(hv_tokens) / hv_dt
+        log(f"pipeinfer decode [host-verify]: {hv_tps:.2f} tok/s "
+            f"(the r3/r4 measured path, same machine/day)")
+        hostverify = {"tokens_per_sec": round(hv_tps, 3),
+                      "vs_baseline": round(hv_tps / base_tps, 4)}
 
     # ---- synchronous tree speculation (the reference's "Speculative") ----
     sync_tps = 0.0
@@ -434,8 +492,9 @@ def main():
         deg_dt = time.time() - t0
         deg_tps = len(deg_tokens) / deg_dt
         st2, m2 = c2.stats, c2.metrics
+        mode2 = "corrected" if c2.use_corrected else "host"
         log(
-            f"pipeinfer degraded (eps={deg_eps}, draft={deg_draft}): "
+            f"pipeinfer degraded [{mode2}] (eps={deg_eps}, draft={deg_draft}): "
             f"{deg_tps:.2f} tok/s, decided accept "
             f"{100 * st2.accept_rate_decided:.1f}%, runs {m2.n_runs} "
             f"({m2.n_canceled_runs} canceled), dead work "
@@ -447,11 +506,66 @@ def main():
         degraded = {
             "eps": deg_eps,
             "n_draft": deg_draft,
+            "mode": mode2,
             "tokens_per_sec": round(deg_tps, 3),
             "vs_baseline": round(deg_tps / base_tps, 4),
             "accept_decided": round(st2.accept_rate_decided, 4),
             "dead_work_frac": round(m2.dead_work_frac, 4),
+            "accept_ema": round(c2.accept_ema, 4),
+            "depth_mix": {str(k): v for k, v in sorted(c2.depth_counts.items())},
         }
+
+        # the r3/r4 assume-chained controller on the same pair: the direct
+        # progression row for the round-4 verdict (its dead work is the
+        # structural cost the corrected chain removes)
+        sp2hv = SpecParams(n_draft=deg_draft, n_parallel=1, p_accept=0.1,
+                           p_split=0.9, max_inflight=args.inflight,
+                           device_verify=False)
+        c3 = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+            GREEDY, sp2hv, eos_id=-1,
+        )
+        t0 = time.time()
+        hv_deg = c3.generate(list(prompt), n_predict)
+        hv_deg_tps = len(hv_deg) / (time.time() - t0)
+        log(f"pipeinfer degraded [host-verify]: {hv_deg_tps:.2f} tok/s, "
+            f"dead work {100 * c3.metrics.dead_work_frac:.1f}%, "
+            f"accept EMA {c3.accept_ema:.3f}, depth mix {c3.depth_counts}")
+        degraded["controller_hostverify"] = {
+            "tokens_per_sec": round(hv_deg_tps, 3),
+            "vs_baseline": round(hv_deg_tps / base_tps, 4),
+            "accept_decided": round(c3.stats.accept_rate_decided, 4),
+            "dead_work_frac": round(c3.metrics.dead_work_frac, 4),
+            "accept_ema": round(c3.accept_ema, 4),
+            "depth_mix": {str(k): v for k, v in sorted(c3.depth_counts.items())},
+        }
+
+        # p_chain sweep on the SAME host-verified degraded workload: the
+        # chain-survival launch gate's tuning surface (round-4 verdict
+        # item 9 — pick a measured default for assumption-chained
+        # topologies from captured numbers, not guesswork)
+        pchain_rows = {}
+        for pc in (0.3, 0.6):
+            spc = SpecParams(n_draft=deg_draft, n_parallel=1, p_accept=0.1,
+                             p_split=0.9, max_inflight=args.inflight,
+                             device_verify=False, p_chain=pc)
+            cpc = PipeInferController(
+                InferenceContext(tparams, tcfg, n_cells=n_cells),
+                InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+                GREEDY, spc, eos_id=-1,
+            )
+            t0 = time.time()
+            pc_toks = cpc.generate(list(prompt), n_predict)
+            pc_tps = len(pc_toks) / (time.time() - t0)
+            log(f"pipeinfer degraded [host-verify, p_chain={pc}]: "
+                f"{pc_tps:.2f} tok/s, dead work "
+                f"{100 * cpc.metrics.dead_work_frac:.1f}%")
+            pchain_rows[str(pc)] = {
+                "tokens_per_sec": round(pc_tps, 3),
+                "dead_work_frac": round(cpc.metrics.dead_work_frac, 4),
+            }
+        degraded["controller_hostverify"]["p_chain_sweep"] = pchain_rows
 
     # ---- stochastic (temp>0) row ----------------------------------------
     # The common serving regime: the fused one-dispatch path drafts with
@@ -466,7 +580,8 @@ def main():
             InferenceContext(dparams, dcfg, n_cells=n_cells),
             STOCH, sp, eos_id=-1,
         )
-        assert sw.use_fused, "stochastic run should use the fused path"
+        assert sw.use_corrected or sw.use_fused, \
+            "stochastic run should use a one-dispatch path"
         sw.generate(list(prompt), min(n_predict, 2 * CHAIN))  # warm
         s2 = PipeInferController(
             InferenceContext(tparams, tcfg, n_cells=n_cells),
@@ -477,16 +592,57 @@ def main():
         st_tokens = s2.generate(list(prompt), n_predict)
         st_dt = time.time() - t0
         st_tps = len(st_tokens) / st_dt
+        smode = "corrected" if s2.use_corrected else "fused"
         log(
-            f"pipeinfer stochastic (temp=0.8): {st_tps:.2f} tok/s, "
+            f"pipeinfer stochastic [{smode}] (temp=0.8): {st_tps:.2f} tok/s, "
             f"decided accept {100 * s2.stats.accept_rate_decided:.1f}%, "
             f"dead work {100 * s2.metrics.dead_work_frac:.1f}%"
         )
         stochastic = {
             "temp": 0.8,
+            "mode": smode,
             "tokens_per_sec": round(st_tps, 3),
             "vs_baseline": round(st_tps / base_tps, 4),
             "accept_decided": round(s2.stats.accept_rate_decided, 4),
+        }
+
+    # ---- stochastic x degraded row (the serving regime: temp>0 AND an
+    # imperfect draft — round-4 verdict item 6: previously the only
+    # stochastic row ran the perfect pair and trivially read 100%) --------
+    stochastic_degraded = None
+    if degraded is not None and stochastic is not None:
+        STOCH = SamplingParams(temp=0.8, penalty_repeat=1.0, penalty_last_n=0,
+                               seed=42)
+        spd = SpecParams(n_draft=8, n_parallel=1, p_accept=0.1, p_split=0.9,
+                         max_inflight=args.inflight)
+        sdw = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+            STOCH, spd, eos_id=-1,
+        )
+        sdw.generate(list(prompt), min(n_predict, 2 * CHAIN))  # warm
+        sd = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+            STOCH, spd, eos_id=-1,
+        )
+        t0 = time.time()
+        sd_tokens = sd.generate(list(prompt), n_predict)
+        sd_tps = len(sd_tokens) / (time.time() - t0)
+        log(
+            f"pipeinfer stochastic degraded (temp=0.8, eps=0.02, draft=8): "
+            f"{sd_tps:.2f} tok/s, decided accept "
+            f"{100 * sd.stats.accept_rate_decided:.1f}%, accept EMA "
+            f"{sd.accept_ema:.3f}, depth mix {sd.depth_counts}"
+        )
+        stochastic_degraded = {
+            "temp": 0.8, "eps": 0.02, "n_draft": 8,
+            "mode": "corrected" if sd.use_corrected else "host",
+            "tokens_per_sec": round(sd_tps, 3),
+            "vs_baseline": round(sd_tps / base_tps, 4),
+            "accept_decided": round(sd.stats.accept_rate_decided, 4),
+            "accept_ema": round(sd.accept_ema, 4),
+            "depth_mix": {str(k): v for k, v in sorted(sd.depth_counts.items())},
         }
 
     # ---- device-resident speculative loop --------------------------------
@@ -547,6 +703,57 @@ def main():
                 "vs_baseline": round(dld_tps / base_tps, 4),
                 "accept_decided": round(dld_st.accept_rate_decided, 4),
             }
+
+    # ---- staged-pipeline row (host-driven stages on ONE chip) -----------
+    # The controller over a 2-stage StagedInferenceContext with BOTH stage
+    # slabs on the single real device: per-stage dispatch overhead + the
+    # activation hop measured with real silicon latencies (round-4 verdict
+    # item 4 — multi-chip perf was CPU-proven only). Compare against the
+    # single-context host-verified controller (same engine, no stages).
+    staged_row = None
+    if not args.quick and not args.no_degraded:
+        from pipeinfer_tpu.parallel.stages import StagedInferenceContext
+
+        def build_staged():
+            tgt_s = StagedInferenceContext(
+                tparams, tcfg, n_cells=n_cells, devices=[dev, dev],
+            )
+            dft_s = InferenceContext(dparams, dcfg, n_cells=n_cells)
+            sp_s = SpecParams(n_draft=n_draft, n_parallel=1, p_accept=0.1,
+                              p_split=0.9, max_inflight=args.inflight)
+            return PipeInferController(tgt_s, dft_s, GREEDY, sp_s, eos_id=-1)
+
+        cs_w = build_staged()
+        assert not cs_w.use_corrected and not cs_w.use_fused, \
+            "staged targets must take the host-verified path"
+        cs_w.tgt.precompile(buckets=tuple({1, 32, _bucket(len(prompt))}),
+                            topk=TOPK, seq_groups=(1,), max_workers=4, log=log)
+        cs_w.generate(list(prompt), min(n_predict, 2 * CHAIN))  # warm
+        cs = build_staged()
+        t0 = time.time()
+        st_toks = cs.generate(list(prompt), n_predict)
+        staged_dt = time.time() - t0
+        staged_tps = len(st_toks) / staged_dt
+        k3 = min(len(st_toks), len(base_tokens))
+        if st_toks[:k3] != base_tokens[:k3]:
+            log("WARNING: staged tokens diverge from baseline (greedy)")
+        ms = cs.metrics
+        disp_per_tok = 2 * ms.n_runs / max(len(st_toks), 1)
+        log(f"pipeinfer staged (2 stages, 1 chip): {staged_tps:.2f} tok/s, "
+            f"runs {ms.n_runs} (~{disp_per_tok:.2f} stage dispatches/token), "
+            f"dead work {100 * ms.dead_work_frac:.1f}%")
+        staged_row = {
+            "stages": 2,
+            "tokens_per_sec": round(staged_tps, 3),
+            "vs_baseline": round(staged_tps / base_tps, 4),
+            "runs": ms.n_runs,
+            "stage_dispatches_per_token": round(disp_per_tok, 3),
+            "dead_work_frac": round(ms.dead_work_frac, 4),
+        }
+        if hostverify:
+            staged_row["vs_single_context_hostverify"] = round(
+                staged_tps / hostverify["tokens_per_sec"], 4
+            )
 
     # ---- realistic-prompt prefill probe (p50 TTFT scale) ----------------
     # BASELINE.md's TTFT metric lives at 512-2048 prompt tokens; measure a
@@ -623,6 +830,38 @@ def main():
         multi["device_batched_tokens_per_sec"] = round(bdl_tps, 3)
         multi["device_batched_vs_sequential_single"] = round(bdl_tps / base_tps, 4)
 
+        # the SERVER path on the same workload: SpecBatchScheduler now
+        # routes sampler-compatible requests onto DeviceLoopServer lanes
+        # (round-4 verdict item 3 — serving was wired to the slowest
+        # engine; the scheduler must reach batched-device-loop throughput,
+        # not MultiPipeInfer's)
+        from pipeinfer_tpu.serving.batching import Request, SpecBatchScheduler
+
+        for trial in range(2):  # trial 0 warms the lane program
+            sched = SpecBatchScheduler(
+                InferenceContext(tparams, tcfg, n_cells=cells_b),
+                InferenceContext(dparams, dcfg, n_cells=cells_b),
+                spec_params=SpecParams(n_draft=dm_depth, adapt_depth=False),
+                eos_id=-1, device_lanes=ns, device_rounds=4,
+            )
+            sreqs = [
+                sched.submit(Request(prompt_ids=list(prompt),
+                                     n_predict=n_predict // 2,
+                                     sampling=GREEDY, ignore_eos=True))
+                for _ in range(ns)
+            ]
+            t0 = time.time()
+            sched.run_until_idle()
+            srv_dt = time.time() - t0
+        n_tok_s = sum(len(r.generated) for r in sreqs)
+        srv_tps = n_tok_s / srv_dt
+        assert sched.n_device_served == ns, "greedy requests must ride lanes"
+        log(f"server scheduler ({ns} greedy requests -> device lanes): "
+            f"{srv_tps:.2f} aggregate tok/s ({n_tok_s} tokens, {srv_dt:.1f}s, "
+            f"{srv_tps / multi_tps:.2f}x the host-engine scheduler)")
+        multi["server_tokens_per_sec"] = round(srv_tps, 3)
+        multi["server_vs_host_engine"] = round(srv_tps / multi_tps, 4)
+
     out = {
         "metric": "pipeinfer_decode_tokens_per_sec",
         "value": round(spec_tps, 3),
@@ -634,13 +873,14 @@ def main():
     }
     if prefill512_s is not None:
         out["prefill512_s"] = round(prefill512_s, 3)
+    if hostverify:
+        out["controller_hostverify"] = hostverify
     if degraded:
         if device_loop_degraded:
             # the framework has TWO single-chip speculative engines; the
-            # honest-acceptance headline is whichever wins the regime
-            # (on-device verification carries no chain-kill dead work, so
-            # it usually does — the async controller's domain is staged /
-            # multi-chip targets where verification must cross hosts)
+            # honest-acceptance headline is whichever wins the regime.
+            # With device-corrected chaining the CONTROLLER carries
+            # on-device verification itself, so it usually wins now
             ctl, dl_ = degraded, device_loop_degraded
             best, engine = (dl_, "device_loop") if (
                 dl_["tokens_per_sec"] >= ctl["tokens_per_sec"]
@@ -655,15 +895,21 @@ def main():
                 "accept_decided": best["accept_decided"],
                 "dead_work_frac": best.get("dead_work_frac", 0.0),
                 "controller": {k: v for k, v in ctl.items()
-                               if k not in ("eps", "n_draft")},
+                               if k not in ("eps", "n_draft",
+                                            "controller_hostverify")},
+                "controller_hostverify": ctl.get("controller_hostverify"),
                 "device_loop": {k: v for k, v in dl_.items()
                                 if k not in ("eps", "n_draft")},
             }
         out["degraded"] = degraded
     if stochastic:
         out["stochastic"] = stochastic
+    if stochastic_degraded:
+        out["stochastic_degraded"] = stochastic_degraded
     if device_loop:
         out["device_loop"] = device_loop
+    if staged_row:
+        out["staged"] = staged_row
     if multi:
         out["multi_stream"] = multi
     print(json.dumps(out))
