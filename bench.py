@@ -255,7 +255,17 @@ def main():
     if not args.quick and not args.no_degraded:
         corr_jobs += [warm_corrected(d, STOCH_SAMP, True)
                       for d in sorted(fused_depths)]
-    with cf.ThreadPoolExecutor(max_workers=3 + len(fused_depths) + len(corr_jobs)) as ex:
+    def run_corr_sequential(jobs=tuple(corr_jobs)):
+        # each corrected warm holds full device KV-cache COPIES while its
+        # program runs; at 7B shapes running them all concurrently
+        # exhausts HBM (observed RESOURCE_EXHAUSTED on v5e) — run them
+        # one at a time, each copy freed by donation before the next rung
+        errs = []
+        for j in jobs:
+            errs += j()
+        return errs
+
+    with cf.ThreadPoolExecutor(max_workers=4 + len(fused_depths)) as ex:
         futs = [
             ex.submit(ctx_t.precompile, buckets=tuple({1, 32, _bucket(len(prompt))}),
                       topk=TOPK,
@@ -263,9 +273,9 @@ def main():
             ex.submit(ctx_d.precompile, buckets=tuple({32, _bucket(len(prompt))}),
                       topk=TOPK,  # draft prefill ships the sparse pack
                       chain_depths=(), seq_groups=(1,), max_workers=2, log=log),
-        ] + [ex.submit(warm_fused(d)) for d in sorted(fused_depths)] + [
-            ex.submit(j) for j in corr_jobs
-        ]
+        ] + [ex.submit(warm_fused(d)) for d in sorted(fused_depths)] + (
+            [ex.submit(run_corr_sequential)] if corr_jobs else []
+        )
         errs = []
         for f in futs:
             errs += f.result()
@@ -402,6 +412,16 @@ def main():
         sp_hv = SpecParams(n_draft=n_draft, n_parallel=1, p_accept=0.1,
                            p_split=0.9, max_inflight=args.inflight,
                            device_verify=False, **sp_kw)
+        # the host-verified tree programs are no longer warmed by the main
+        # row (it runs corrected mode); pay their compiles here, not in
+        # the measured run
+        hv_w = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams, dcfg, n_cells=n_cells),
+            GREEDY, sp_hv, eos_id=-1,
+        )
+        hv_w.generate(list(prompt), min(n_predict, 2 * CHAIN))
+        del hv_w
         hv = PipeInferController(
             InferenceContext(tparams, tcfg, n_cells=n_cells),
             InferenceContext(dparams, dcfg, n_cells=n_cells),
@@ -415,6 +435,7 @@ def main():
             f"(the r3/r4 measured path, same machine/day)")
         hostverify = {"tokens_per_sec": round(hv_tps, 3),
                       "vs_baseline": round(hv_tps / base_tps, 4)}
+        del hv  # free this row's device caches (HBM budgets the later rows)
 
     # ---- synchronous tree speculation (the reference's "Speculative") ----
     sync_tps = 0.0
@@ -514,6 +535,7 @@ def main():
             "accept_ema": round(c2.accept_ema, 4),
             "depth_mix": {str(k): v for k, v in sorted(c2.depth_counts.items())},
         }
+        del cw, c2
 
         # the r3/r4 assume-chained controller on the same pair: the direct
         # progression row for the round-4 verdict (its dead work is the
@@ -521,6 +543,13 @@ def main():
         sp2hv = SpecParams(n_draft=deg_draft, n_parallel=1, p_accept=0.1,
                            p_split=0.9, max_inflight=args.inflight,
                            device_verify=False)
+        c3w = PipeInferController(
+            InferenceContext(tparams, tcfg, n_cells=n_cells),
+            InferenceContext(dparams2, dcfg2, n_cells=n_cells),
+            GREEDY, sp2hv, eos_id=-1,
+        )
+        c3w.generate(list(prompt), min(n_predict, 2 * CHAIN))  # warm host path
+        del c3w
         c3 = PipeInferController(
             InferenceContext(tparams, tcfg, n_cells=n_cells),
             InferenceContext(dparams2, dcfg2, n_cells=n_cells),
@@ -566,6 +595,7 @@ def main():
                 "dead_work_frac": round(cpc.metrics.dead_work_frac, 4),
             }
         degraded["controller_hostverify"]["p_chain_sweep"] = pchain_rows
+        del c3, cpc
 
     # ---- stochastic (temp>0) row ----------------------------------------
     # The common serving regime: the fused one-dispatch path drafts with
@@ -605,6 +635,7 @@ def main():
             "vs_baseline": round(st_tps / base_tps, 4),
             "accept_decided": round(s2.stats.accept_rate_decided, 4),
         }
+        del sw, s2
 
     # ---- stochastic x degraded row (the serving regime: temp>0 AND an
     # imperfect draft — round-4 verdict item 6: previously the only
@@ -644,6 +675,7 @@ def main():
             "accept_ema": round(sd.accept_ema, 4),
             "depth_mix": {str(k): v for k, v in sorted(sd.depth_counts.items())},
         }
+        del sdw, sd
 
     # ---- device-resident speculative loop --------------------------------
     # R speculative rounds per dispatch with ON-DEVICE verification
@@ -754,12 +786,16 @@ def main():
             staged_row["vs_single_context_hostverify"] = round(
                 staged_tps / hostverify["tokens_per_sec"], 4
             )
+        del cs_w, cs
 
     # ---- realistic-prompt prefill probe (p50 TTFT scale) ----------------
     # BASELINE.md's TTFT metric lives at 512-2048 prompt tokens; measure a
     # warm 512-token prefill step (one weight pass at bucket 512).
     prefill512_s = None
     if not args.quick and not args.no_degraded:
+        import gc
+
+        gc.collect()  # drop freed rows' device caches before a new context
         ctx_p = InferenceContext(tparams, tcfg, n_cells=n_cells + 512)
         ctx_p.precompile(buckets=(512,), topk=TOPK, max_workers=2, log=log)
         long_prompt = [1] + list(rng_tokens(511))
