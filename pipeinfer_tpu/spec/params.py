@@ -57,9 +57,13 @@ class SpecParams:
     # minimum probability that a chained run's assumed prefix survives
     # verification (accept_ema ** assumed_len) for the pump to launch it —
     # the chain-level counterpart of the reference's p_accept draft gate.
-    # 0 = off (the measured default on single-chip: dead speculative device
-    # time costs less than the RTT serialization an empty pipeline causes);
-    # raise for device-bound multi-chip topologies
+    # 0 = off, the MEASURED single-chip default (r5 sweep on the degraded
+    # 7B pair: p_chain 0 / 0.3 / 0.6 -> 204.7 / 203.3 / 194.6 tok/s at
+    # 36.6 / 35.5 / 30.8% dead work — the gate trades dead device time
+    # for pipeline bubbles, and on one chip the RTT serialization costs
+    # more than the dead work it saves). Raise for device-bound
+    # multi-chip topologies where speculative device time is the scarce
+    # resource; `bench.py` captures the sweep per machine.
     p_chain: float = 0.0
     # device-corrected chaining (spec/corrected.py): when the sampler chain
     # fits the device verifier, fused runs verify ON DEVICE and chain from
