@@ -176,7 +176,13 @@ def main():
         f"({tcfg.n_layers}L target, {dcfg.n_layers}L draft)")
 
     prompt = [1] + list(rng_tokens(args.prompt_len - 1))
-    n_cells = len(prompt) + n_predict + 8 * CHAIN + 64
+    # scratch budget: host-chained trees need 8*CHAIN; corrected runs need
+    # max_inflight * corr_rounds * (CHAIN+1) in-flight cells
+    from pipeinfer_tpu.spec.params import SpecParams as _SP
+
+    n_cells = len(prompt) + n_predict + max(
+        8 * CHAIN, args.inflight * max(1, _SP().corr_rounds) * (CHAIN + 1)
+    ) + 64
 
     ctx_t = InferenceContext(tparams, tcfg, n_cells=n_cells)
     ctx_d = InferenceContext(dparams, dcfg, n_cells=n_cells)
@@ -220,11 +226,13 @@ def main():
     # draft+verify program per rung; warm greedy AND stochastic variants
     from pipeinfer_tpu.spec.corrected import _shared_corrected_spec
 
+    CORR_R = max(1, SpecParams().corr_rounds)
+
     def warm_corrected(depth, samp=None, tsample=False):
         def run():
             fn = _shared_corrected_spec(
                 ctx_d._forward, dcfg, ctx_t._forward, tcfg, depth, TOPK,
-                samp, tsample,
+                samp, tsample, CORR_R,
             )
             dc = _jax.tree_util.tree_map(_jnp.copy, ctx_d.cache)
             tc = _jax.tree_util.tree_map(_jnp.copy, ctx_t.cache)
@@ -234,11 +242,11 @@ def main():
             out, _, _, _, _ = fn(
                 ctx_d.params, dc, ctx_t.params, tc,
                 np.int32(1), np.int32(0), np.int32(0),
-                np.full(depth, ctx_d.trash_cell, np.int32),
-                np.full(depth + 1, ctx_t.trash_cell, np.int32),
+                np.full((CORR_R, depth), ctx_d.trash_cell, np.int32),
+                np.full((CORR_R, depth + 1), ctx_t.trash_cell, np.int32),
                 *extra,
             )
-            np.asarray(out[0, 0])
+            np.asarray(out[0, 0, 0])
             return []
 
         return run

@@ -8,6 +8,7 @@ from __future__ import annotations
 import argparse
 
 from ..sampling.samplers import SamplingParams
+from ..spec.params import SpecParams
 
 
 def add_model_args(p: argparse.ArgumentParser, draft: bool = False):
@@ -54,6 +55,12 @@ def add_spec_args(p: argparse.ArgumentParser):
     p.add_argument("-pr", "--p-recovery", type=float, default=0.0, help="accept-threshold recovery rate")
     p.add_argument("-pd", "--p-decay", type=float, default=0.0, help="accept-threshold decay per rejection")
     p.add_argument("--max-inflight", type=int, default=4, help="max concurrent speculative runs")
+    p.add_argument("--corr-rounds", type=int, default=SpecParams.corr_rounds,
+                   help="speculative rounds per device-corrected dispatch "
+                   "(controller engine; 1 = one round per dispatch)")
+    p.add_argument("--no-device-verify", action="store_true",
+                   help="force host verification (assume-chaining + "
+                   "cancellation) even for device-expressible samplers")
     p.add_argument("--results-csv", default="", help="append run metrics (ref results.csv)")
 
 

@@ -34,6 +34,8 @@ def spec_from_args(args) -> SpecParams:
         p_recovery=args.p_recovery,
         p_decay=args.p_decay,
         max_inflight=args.max_inflight,
+        corr_rounds=getattr(args, "corr_rounds", SpecParams.corr_rounds),
+        device_verify=not getattr(args, "no_device_verify", False),
     )
 
 

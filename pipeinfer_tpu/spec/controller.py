@@ -73,10 +73,13 @@ class AsyncRun:
     # fetch lands; handle.fetch() returns (logits, tokens)
     fused: bool = False
     # device-corrected run (spec/corrected.py): verification happened on
-    # device; handle.fetch() returns (m, committed tokens, sparse rows).
-    # Never canceled (its context is the true frontier by construction).
+    # device; handle.fetch() returns a list of per-round
+    # (m, committed tokens, sparse rows) tuples. Never canceled (its
+    # context is the true frontier by construction).
     corrected: bool = False
     corr_cells: tuple | None = None  # (dcells, tcells) for mirror reconcile
+    corr_rounds: int = 1  # speculative rounds chained inside this run
+    corr_depth: int = 0  # draft depth per round
 
 
 @dataclasses.dataclass
@@ -451,11 +454,12 @@ class PipeInferController:
         frontier scalars (spec/corrected.py). Returns False on cache
         backpressure (nothing was allocated)."""
         depth = self._choose_depth(corrected_mode=True)
+        rounds = max(1, self.sp.corr_rounds)
         # mirror-position hint: the true retired frontier plus the in-flight
         # runs' worst-case advance — re-anchors as fetches reconcile, so the
         # hot bucket tracks real occupancy, not accumulated overestimates
         hint = self._corr_host_base + sum(
-            r.n_drafted + 1 for r in self.runs if r.corrected
+            r.n_drafted + r.corr_rounds for r in self.runs if r.corrected
         )
         try:
             handle, root2, base2, dcells, tcells = corrected.launch(
@@ -466,6 +470,7 @@ class PipeInferController:
                 samp=fused.draft_samp(self.sampling),
                 tsample=self.sampling.temp > 0,
                 seed=self._next_fused_seed(),
+                rounds=rounds,
             )
         except CacheFull:
             self.n_rejected += 1
@@ -482,14 +487,16 @@ class PipeInferController:
             dft_base=hint,
             seq_offset=self.seq_base,
             speculative=True,
-            n_drafted=depth,
+            n_drafted=rounds * depth,
             corrected=True,
             corr_cells=(dcells, tcells),
+            corr_rounds=rounds,
+            corr_depth=depth,
         )
         self.runs.append(run)
         self.metrics.n_runs += 1
-        self.metrics.n_dispatched_tokens += depth
-        self.stats.n_drafted += depth
+        self.metrics.n_dispatched_tokens += rounds * depth
+        self.stats.n_drafted += rounds * depth
         self._corr_root, self._corr_base = root2, base2
         return True
 
@@ -683,36 +690,47 @@ class PipeInferController:
         self._after_verify(new_tokens, m, run, v0, s_keep=s_keep, stop=stop)
         return stop
 
-    def _verify_corrected(self, run: AsyncRun, pack, n_predict: int, stream) -> bool:
-        """Consume a finished device-corrected run: the device already
-        decided (m accepted drafts + the bonus target token); the host
-        commits them, reconciles its cell mirrors with the device truth,
-        and keeps the sampler/metrics bookkeeping authoritative for
-        everything downstream (EOS, n_predict, streaming, stats)."""
-        m, toks, rows = pack
-        depth = run.n_drafted
-        if self.sampling.temp <= 0 and toks and int(rows[0].ids[0]) != int(toks[0]):
-            raise RuntimeError(
-                "device verification disagrees with the sparse logits head"
-            )
-        dcells, tcells = run.corr_cells
-        base = self._corr_host_base  # this run's true root position
-        corrected.reclaim(self.dft, dcells, min(m + 1, depth), base, self.seq_base)
-        corrected.reclaim(self.tgt, tcells, m + 1, base, self.seq_base)
-        self._corr_host_base = base + m + 1
-        self.seq0_frontier = max(self.seq0_frontier, base + m + 1)
-        self.stats.n_accept += m
-        # per-token acceptance evidence: m matches (+ the mismatch, if any)
-        self._update_accept_ema(m, m + (1 if m < depth else 0))
-        for i, t in enumerate(toks):
-            if self._n_probs:
-                # row i is the target distribution that decided token i
-                self.probs.append(
-                    top_probs(self.sampler, rows[i], self._n_probs))
-            self.sampler.accept(int(t))
-            self._accept_token(int(t), stream)
-            if self._stopped(n_predict):
-                break
+    def _verify_corrected(self, run: AsyncRun, packs, n_predict: int, stream) -> bool:
+        """Consume a finished device-corrected run of R rounds: the device
+        already decided each round (m accepted drafts + the bonus target
+        token); the host commits them in order, reconciles its cell
+        mirrors with the device truth per round, and keeps the
+        sampler/metrics bookkeeping authoritative for everything
+        downstream (EOS, n_predict, streaming, stats). Rounds after the
+        host stop point are tail waste — their cells are reconciled (the
+        device committed them; finish_generation's trim frees the
+        overshoot) but their drafts count as unverified."""
+        depth = run.corr_depth
+        dcells, tcells = run.corr_cells  # [R, depth], [R, depth+1]
+        stopped = self._stopped(n_predict)
+        for r, (m, toks, rows) in enumerate(packs):
+            if (not stopped and self.sampling.temp <= 0 and toks
+                    and int(rows[0].ids[0]) != int(toks[0])):
+                raise RuntimeError(
+                    "device verification disagrees with the sparse logits head"
+                )
+            base = self._corr_host_base  # this round's true root position
+            corrected.reclaim(self.dft, dcells[r], min(m + 1, depth),
+                              base, self.seq_base)
+            corrected.reclaim(self.tgt, tcells[r], m + 1, base, self.seq_base)
+            self._corr_host_base = base + m + 1
+            self.seq0_frontier = max(self.seq0_frontier, base + m + 1)
+            if stopped:
+                self.stats.n_drafted_unverified += depth
+                continue
+            self.stats.n_accept += m
+            # per-token acceptance evidence: m matches (+ the mismatch)
+            self._update_accept_ema(m, m + (1 if m < depth else 0))
+            for i, t in enumerate(toks):
+                if self._n_probs:
+                    # row i is the target distribution deciding token i
+                    self.probs.append(
+                        top_probs(self.sampler, rows[i], self._n_probs))
+                self.sampler.accept(int(t))
+                self._accept_token(int(t), stream)
+                if self._stopped(n_predict):
+                    stopped = True
+                    break
         self.n_rejected = 0
         return self._stopped(n_predict)
 
@@ -930,13 +948,14 @@ class PipeInferController:
                 # the device committed this run's rounds; reconcile the
                 # mirrors with its truth (eager fetch is already in
                 # flight), then the tail trim below frees the overshoot
-                m, _toks, _rows = r.handle.fetch()
                 dc, tc = r.corr_cells
-                corrected.reclaim(self.dft, dc, min(m + 1, r.n_drafted),
-                                  self._corr_host_base, self.seq_base)
-                corrected.reclaim(self.tgt, tc, m + 1,
-                                  self._corr_host_base, self.seq_base)
-                self._corr_host_base += m + 1
+                for rr, (m, _toks, _rows) in enumerate(r.handle.fetch()):
+                    corrected.reclaim(self.dft, dc[rr],
+                                      min(m + 1, r.corr_depth),
+                                      self._corr_host_base, self.seq_base)
+                    corrected.reclaim(self.tgt, tc[rr], m + 1,
+                                      self._corr_host_base, self.seq_base)
+                    self._corr_host_base += m + 1
             elif r.speculative:
                 self._discard_cells(r)
                 self.free_offsets.append(r.seq_offset)
@@ -964,9 +983,9 @@ class PipeInferController:
                 self._reseed_frontier()
             return False
         if run.corrected:
-            pack = run.handle.fetch()
-            self.stats.n_rounds += 1
-            return self._verify_corrected(run, pack, n_predict, stream)
+            packs = run.handle.fetch()
+            self.stats.n_rounds += run.corr_rounds
+            return self._verify_corrected(run, packs, n_predict, stream)
         if run.fused:
             logits, _ = run.handle.fetch()
             fused.run_tokens(run)  # fill branches from the cached fetch
@@ -989,7 +1008,9 @@ class PipeInferController:
             and not self._stopped_flag
             and len(self.runs) < sp.max_inflight
         ):
-            bound = sum(r.n_drafted + 1 for r in self.runs if r.corrected)
+            bound = sum(
+                r.n_drafted + r.corr_rounds for r in self.runs if r.corrected
+            )
             if self.runs and len(self.generated) + bound >= limit:
                 break  # in-flight commits can already cover the budget
             if not self._launch_corrected():

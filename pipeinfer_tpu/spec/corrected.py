@@ -90,83 +90,99 @@ def _drop_rows(cache: kv.KVCache, cells: jax.Array, keep: jax.Array) -> kv.KVCac
 
 @functools.lru_cache(maxsize=None)
 def _shared_corrected_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk,
-                           samp=None, tsample=False):
-    """One corrected speculative run as a single program.
+                           samp=None, tsample=False, rounds=1):
+    """R corrected speculative rounds as a single program.
 
-    Returns (out [depth+1, 2*topk+3], bonus, new_base, dcache, tcache):
-    out rows pack the target's sparse logits (top-k vals ++ ids ++ lse),
-    a committed-token column, and the accept count m smuggled in row 0 of
-    the last column. bonus/new_base are the device-chained scalars."""
+    Returns (out [R, depth+1, 2*topk+3], bonus, new_base, dcache, tcache):
+    per round, out rows pack the target's sparse logits (top-k vals ++
+    ids ++ lse), a committed-token column, and the accept count m
+    smuggled in row 0 of the last column. Each round chains from the
+    previous round's corrected (bonus, base) ON DEVICE — rounds > 1 is
+    the device loop's cadence (spec/device_loop.py) with the
+    controller's sparse logits head kept per round; bonus/new_base chain
+    the NEXT dispatched run."""
 
     @functools.partial(jax.jit, donate_argnums=(1, 3))
     def run(dparams, dcache, tparams, tcache, root, base, seq_id,
             dcells, tcells, *key):
+        # root i32 scalar; dcells [R, depth]; tcells [R, depth+1]
         root = root.astype(jnp.int32)
 
-        # 1) draft chain from root (root decoded at `base`)
-        def draft_step(c, i):
-            dcache, tok, pos = c
-            logits, dcache = fwd_d(
-                dparams, cfg_d, dcache,
-                tok[None], pos[None], seq_id[None], dcells[i][None],
-                jnp.ones(1, bool), None,
+        def round_body(carry, xs):
+            dcache, tcache, root, base = carry
+            dcell_row, tcell_row, r = xs
+
+            # 1) draft chain from root (root decoded at `base`)
+            def draft_step(c, i):
+                dcache, tok, pos = c
+                logits, dcache = fwd_d(
+                    dparams, cfg_d, dcache,
+                    tok[None], pos[None], seq_id[None], dcell_row[i][None],
+                    jnp.ones(1, bool), None,
+                )
+                if samp is None:
+                    nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+                else:
+                    nxt = _device_draft_sample(
+                        logits[0], samp,
+                        jax.random.fold_in(key[0], r * (depth + 1) + i),
+                    )
+                return (dcache, nxt, pos + 1), nxt
+
+            (dcache, _, _), toks = jax.lax.scan(
+                draft_step, (dcache, root, base), jnp.arange(depth)
             )
-            if samp is None:
-                nxt = jnp.argmax(logits[0]).astype(jnp.int32)
+
+            # 2) one target pass over [root ++ drafted]
+            ttoks = jnp.concatenate([root[None], toks])
+            tpos = base + jnp.arange(depth + 1, dtype=jnp.int32)
+            tseq = jnp.broadcast_to(seq_id, (depth + 1,)).astype(jnp.int32)
+            tlogits, tcache = fwd_t(
+                tparams, cfg_t, tcache, ttoks, tpos, tseq, tcell_row,
+                jnp.ones(depth + 1, bool), None,
+            )
+
+            # 3) device verification (g[i] decides position base+i+1)
+            if tsample:
+                gk = jax.random.fold_in(key[0], rounds * (depth + 1) + r)
+                g = jax.vmap(
+                    lambda row_l, i: _device_draft_sample(
+                        row_l, samp, jax.random.fold_in(gk, i)
+                    )
+                )(tlogits, jnp.arange(depth + 1))
             else:
-                nxt = _device_draft_sample(
-                    logits[0], samp, jax.random.fold_in(key[0], i)
-                )
-            return (dcache, nxt, pos + 1), nxt
+                g = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)
+            matches = toks == g[:depth]
+            m = jnp.sum(jnp.cumprod(matches.astype(jnp.int32))).astype(jnp.int32)
+            bonus = g[m]
+            new_base = base + m + 1
 
-        (dcache, _, _), toks = jax.lax.scan(
-            draft_step, (dcache, root, base), jnp.arange(depth)
-        )
+            # 4) drop rejected rows by index: draft row i holds pos base+i
+            # (root..toks[depth-2]), keep i <= m (capped); target row i
+            # holds pos base+i (root ++ drafted), keep i <= m
+            dcache = _drop_rows(
+                dcache, dcell_row, jnp.arange(depth) < jnp.minimum(m + 1, depth)
+            )
+            tcache = _drop_rows(tcache, tcell_row, jnp.arange(depth + 1) < m + 1)
 
-        # 2) one target pass over [root ++ drafted]
-        ttoks = jnp.concatenate([root[None], toks])
-        tpos = base + jnp.arange(depth + 1, dtype=jnp.int32)
-        tseq = jnp.broadcast_to(seq_id, (depth + 1,)).astype(jnp.int32)
-        tlogits, tcache = fwd_t(
-            tparams, cfg_t, tcache, ttoks, tpos, tseq, tcells,
-            jnp.ones(depth + 1, bool), None,
-        )
+            # output pack: sparse target rows ++ committed tokens ++ m
+            lse = jax.scipy.special.logsumexp(tlogits, axis=-1)
+            vals, ids = jax.lax.top_k(tlogits, topk)
+            idx = jnp.arange(depth + 1)
+            committed = jnp.where(idx < m, jnp.concatenate([toks, toks[-1:]]), 0)
+            committed = jnp.where(idx == m, bonus, committed)
+            mcol = jnp.zeros(depth + 1, jnp.int32).at[0].set(m)
+            out = jnp.concatenate(
+                [vals, ids.astype(jnp.float32), lse[:, None],
+                 committed.astype(jnp.float32)[:, None],
+                 mcol.astype(jnp.float32)[:, None]],
+                axis=1,
+            )
+            return (dcache, tcache, bonus, new_base), out
 
-        # 3) device verification (g[i] decides position base+i+1)
-        if tsample:
-            gk = jax.random.fold_in(key[0], depth + 7)
-            g = jax.vmap(
-                lambda row_l, i: _device_draft_sample(
-                    row_l, samp, jax.random.fold_in(gk, i)
-                )
-            )(tlogits, jnp.arange(depth + 1))
-        else:
-            g = jnp.argmax(tlogits, axis=-1).astype(jnp.int32)
-        matches = toks == g[:depth]
-        m = jnp.sum(jnp.cumprod(matches.astype(jnp.int32))).astype(jnp.int32)
-        bonus = g[m]
-        new_base = base + m + 1
-
-        # 4) drop rejected rows by index: draft row i holds pos base+i
-        # (root..toks[depth-2]), keep i <= m (capped); target row i holds
-        # pos base+i (root ++ drafted), keep i <= m
-        dcache = _drop_rows(
-            dcache, dcells, jnp.arange(depth) < jnp.minimum(m + 1, depth)
-        )
-        tcache = _drop_rows(tcache, tcells, jnp.arange(depth + 1) < m + 1)
-
-        # output pack: sparse target rows ++ committed tokens ++ m
-        lse = jax.scipy.special.logsumexp(tlogits, axis=-1)
-        vals, ids = jax.lax.top_k(tlogits, topk)
-        idx = jnp.arange(depth + 1)
-        committed = jnp.where(idx < m, jnp.concatenate([toks, toks[-1:]]), 0)
-        committed = jnp.where(idx == m, bonus, committed)
-        mcol = jnp.zeros(depth + 1, jnp.int32).at[0].set(m)
-        out = jnp.concatenate(
-            [vals, ids.astype(jnp.float32), lse[:, None],
-             committed.astype(jnp.float32)[:, None],
-             mcol.astype(jnp.float32)[:, None]],
-            axis=1,
+        (dcache, tcache, bonus, new_base), out = jax.lax.scan(
+            round_body, (dcache, tcache, root, base),
+            (dcells, tcells, jnp.arange(rounds)),
         )
         return out, bonus, new_base, dcache, tcache
 
@@ -186,27 +202,29 @@ def launch(
     samp: tuple | None = None,
     tsample: bool = False,
     seed: int = 0,
+    rounds: int = 1,
 ):
-    """Dispatch one corrected run. Returns
-    (handle, bonus_dev, new_base_dev, dcells, tcells).
+    """Dispatch one corrected run of R rounds. Returns
+    (handle, bonus_dev, new_base_dev, dcells [R, depth], tcells [R, depth+1]).
 
-    handle.fetch() -> (m, committed tokens list [m+1], SparseLogits rows
-    [depth+1]). May raise CacheFull (backpressure, cells untouched).
+    handle.fetch() -> list of R per-round tuples
+    (m, committed tokens list [m+1], SparseLogits rows [depth+1]).
+    May raise CacheFull (backpressure, cells untouched).
     Host mirrors get hint-based positions (upper bounds — actual base is
     device-resident until the fetch); the caller reconciles at retire."""
-    dcells = dft.find_cells(depth)
-    tcells = tgt.find_cells(depth + 1)
+    dcells = dft.find_cells(rounds * depth).reshape(rounds, depth)
+    tcells = tgt.find_cells(rounds * (depth + 1)).reshape(rounds, depth + 1)
     seq_row = kv.host_only(seq_id)
-    dft.h_pos[dcells] = hint + np.arange(depth)
-    dft.h_seq[dcells] = seq_row
-    tgt.h_pos[tcells] = hint + np.arange(depth + 1)
-    tgt.h_seq[tcells] = seq_row
+    dft.h_pos[dcells.reshape(-1)] = hint + np.arange(rounds * depth)
+    dft.h_seq[dcells.reshape(-1)] = seq_row
+    tgt.h_pos[tcells.reshape(-1)] = hint + np.arange(rounds * (depth + 1))
+    tgt.h_seq[tcells.reshape(-1)] = seq_row
     dft._refresh_hot()
     tgt._refresh_hot()
 
     fn = _shared_corrected_spec(
         dft._forward, dft.cfg, tgt._forward, tgt.cfg, depth, topk,
-        samp, tsample,
+        samp, tsample, rounds,
     )
     root_arg = root if hasattr(root, "dtype") else np.int32(root)
     base_arg = base if hasattr(base, "dtype") else np.int32(base)
@@ -219,19 +237,22 @@ def launch(
         dcells.astype(np.int32), tcells.astype(np.int32), *extra,
     )
 
-    def fetch(_out=out, _topk=topk, _d=depth):
-        host = np.asarray(_out)
-        m = int(host[0, 2 * _topk + 2])
-        toks = host[: m + 1, 2 * _topk + 1].astype(np.int32).tolist()
-        rows = [
-            SparseLogits(
-                host[i, _topk : 2 * _topk].astype(np.int32),
-                host[i, :_topk],
-                float(host[i, 2 * _topk]),
-            )
-            for i in range(_d + 1)
-        ]
-        return m, toks, rows
+    def fetch(_out=out, _topk=topk, _d=depth, _r=rounds):
+        host = np.asarray(_out)  # [R, depth+1, 2*topk+3]
+        packs = []
+        for r in range(_r):
+            m = int(host[r, 0, 2 * _topk + 2])
+            toks = host[r, : m + 1, 2 * _topk + 1].astype(np.int32).tolist()
+            rows = [
+                SparseLogits(
+                    host[r, i, _topk : 2 * _topk].astype(np.int32),
+                    host[r, i, :_topk],
+                    float(host[r, i, 2 * _topk]),
+                )
+                for i in range(_d + 1)
+            ]
+            packs.append((m, toks, rows))
+        return packs
 
     handle = AsyncHandle(logits=out, fetch=fetch, cells=tcells).start_fetch(
         tgt._fetch_pool

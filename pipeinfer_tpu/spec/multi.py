@@ -58,11 +58,17 @@ class SpecRequest:
     t_done: float = -1.0
 
     def cells_needed(self, sp: SpecParams) -> int:
-        """Worst-case KV cells: committed stream + every in-flight tree."""
+        """Worst-case KV cells: committed stream + every in-flight run
+        (host-chained trees, or R-round corrected runs — whichever the
+        controller picks, budget the larger)."""
+        scratch = sp.max_inflight * max(
+            sp.n_parallel * sp.n_draft,
+            max(1, sp.corr_rounds) * (sp.n_draft + 1),
+        )
         return (
             len(self.prompt_ids)
             + self.n_predict
-            + sp.max_inflight * sp.n_parallel * sp.n_draft
+            + scratch
             + sp.n_draft  # draft-root redecode slack
         )
 

@@ -72,6 +72,14 @@ class SpecParams:
     # host-verified fused/tree path everywhere (its cancellation machinery
     # is still always used for grammar/penalties/mirostat/trees/staged)
     device_verify: bool = True
+    # speculative ROUNDS per corrected dispatch: each corrected run chains
+    # R draft+verify rounds inside one program (lax.scan), amortizing the
+    # per-dispatch overhead R ways — the device loop's cadence with the
+    # controller's bookkeeping (sparse heads, EMA, adaptive depth, EOS
+    # authority). Tail waste at end-of-generation grows with R (the
+    # device cannot see EOS mid-program), same trade as DeviceLoopEngine's
+    # `rounds`; 1 = one round per dispatch (the r5 launch behavior)
+    corr_rounds: int = 4
 
     def ladder(self) -> tuple[int, ...]:
         """Compiled fused-run depths (halving from n_draft, max 4 rungs).
