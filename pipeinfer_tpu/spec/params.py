@@ -73,13 +73,17 @@ class SpecParams:
     # is still always used for grammar/penalties/mirostat/trees/staged)
     device_verify: bool = True
     # speculative ROUNDS per corrected dispatch: each corrected run chains
-    # R draft+verify rounds inside one program (lax.scan), amortizing the
-    # per-dispatch overhead R ways — the device loop's cadence with the
-    # controller's bookkeeping (sparse heads, EMA, adaptive depth, EOS
-    # authority). Tail waste at end-of-generation grows with R (the
-    # device cannot see EOS mid-program), same trade as DeviceLoopEngine's
-    # `rounds`; 1 = one round per dispatch (the r5 launch behavior)
-    corr_rounds: int = 4
+    # R draft+verify rounds inside one program (lax.scan) — the device
+    # loop's cadence with the controller's bookkeeping (sparse heads,
+    # per-round EMA updates, adaptive depth, EOS authority). MEASURED
+    # default 1 on this machine: max_inflight chained dispatches already
+    # hide the ~30 ms dispatch RTT, so R>1 only coarsens the end-of-
+    # generation tail (R=4 at depth 32 regressed the perfect-draft row
+    # 494->440 tok/s — 132-token dispatch granularity vs a 256-token
+    # budget — and moved the degraded row 356->358, i.e. noise). Raise it
+    # for higher-RTT device-bound topologies where dispatch cadence, not
+    # tail waste, is the binding cost.
+    corr_rounds: int = 1
 
     def ladder(self) -> tuple[int, ...]:
         """Compiled fused-run depths (halving from n_draft, max 4 rungs).
