@@ -67,6 +67,23 @@ def host_only(seq_id: int):
     return row
 
 
+def reclaim_cells(ctx, cells, keep: int, base: int, seq: int = 0):
+    """Reconcile a context's HOST mirrors with device truth for one
+    device-verified run's cells: rows [0, keep) are live at positions
+    base+row on `seq`; the device program freed the rest. The single
+    reconcile contract shared by every engine that verifies on device
+    (spec/device_loop.py, spec/device_multi.py, spec/corrected.py) —
+    change it here, not in per-engine copies."""
+    import numpy as _np
+
+    flat = _np.asarray(cells).reshape(-1)
+    if keep:
+        ctx.h_pos[flat[:keep]] = base + _np.arange(keep)
+        ctx.h_seq[flat[:keep]] = host_only(seq)
+    ctx.h_pos[flat[keep:]] = -1
+    ctx.h_seq[flat[keep:]] = 0
+
+
 def host_rows(seq_lists):
     """Membership rows [n, SEQ_WORDS] for a list of seq-id lists."""
     import numpy as _np

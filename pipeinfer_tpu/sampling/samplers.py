@@ -352,10 +352,20 @@ def top_probs(
     if isinstance(logits, SparseLogits):
         ids = logits.ids.astype(np.int64)
         vals = logits.vals.astype(np.float32).copy()
+        lse = float(logits.lse)
         for tid, bias in p.logit_bias.items():
             hit = np.nonzero(ids == tid)[0]
             if len(hit):
+                old = float(vals[hit[0]])
                 vals[hit[0]] += bias
+                # keep the full-vocab normalizer exact under the bias:
+                # Z' = Z - e^old + e^(old+bias), folded in log space
+                # (biases on tokens outside the shipped top-K window are
+                # inherently unrepresentable in the sparse head)
+                delta = np.exp(old + bias - lse) - np.exp(old - lse)
+                # Z > e^old strictly, but fp rounding can hit -1 exactly
+                # when a banned token carried ~all the mass
+                lse += float(np.log1p(max(delta, -1.0 + 1e-12)))
         penalized = bool(state.prev) and p.penalty_last_n != 0
         if penalized:
             # same candidate-window penalty transform as _sample_sparse —
@@ -376,7 +386,7 @@ def top_probs(
                 probs = _softmax(vals).astype(np.float64)
             else:
                 # exact full-vocab probabilities via the shipped normalizer
-                probs = np.exp(vals.astype(np.float64) - logits.lse)
+                probs = np.exp(vals.astype(np.float64) - lse)
         else:
             cand = _chain_filter(vals, p)
             out = np.zeros(len(ids))

@@ -379,8 +379,17 @@ class SpecBatchScheduler:
         )
 
     def _drain_queue(self):
+        # the whole body holds the scheduler lock: cancel() (HTTP handler
+        # threads) walks _live/_dev_live, and a cancel landing between the
+        # queue swap and the _live insertion would otherwise find the
+        # request in neither collection (lost cancel) or hit a dict
+        # mutated mid-iteration. Engine submits are cheap enqueues, so
+        # holding the lock across them costs nothing.
         with self.lock:
-            q, self.queue = self.queue, []
+            self._drain_queue_locked()
+
+    def _drain_queue_locked(self):
+        q, self.queue = self.queue, []
         for req in q:
 
             def cb(t, _r=req):
@@ -443,14 +452,14 @@ class SpecBatchScheduler:
                 req.done = True
                 req.done_event.set()
                 return
-        for h, r in self._dev_live:
-            if r is req:
-                h.cancel = True
-                return
-        for sid, r in self._live.items():
-            if r is req:
-                self.engine.cancel(self._sreqs[sid])
-                return
+            for h, r in self._dev_live:
+                if r is req:
+                    h.cancel = True
+                    return
+            for sid, r in self._live.items():
+                if r is req:
+                    self.engine.cancel(self._sreqs[sid])
+                    return
 
     def step(self) -> int:
         self._drain_queue()

@@ -930,7 +930,17 @@ class PipeInferController:
             # launches from its frontier scalars, the host-verified modes
             # reseed with a safety run
             if self.use_corrected and self._corr_root is not None:
-                self._corrected_pump()
+                if not self._corrected_pump():
+                    # with runs empty the pump can only fail on cell
+                    # exhaustion (_launch_corrected swallows CacheFull to
+                    # report backpressure); an empty pipeline that cannot
+                    # relaunch would read as done and silently truncate
+                    # the generation — surface it like the host-verified
+                    # path's _launch_nonspec does
+                    raise CacheFull(
+                        "corrected chain stalled: KV cell pool exhausted "
+                        "with no runs in flight (shared-pool backpressure)"
+                    )
             else:
                 self._reseed_frontier()
         return True

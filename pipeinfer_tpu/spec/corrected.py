@@ -159,7 +159,16 @@ def _shared_corrected_spec(fwd_d, cfg_d, fwd_t, cfg_t, depth, topk,
 
             # 4) drop rejected rows by index: draft row i holds pos base+i
             # (root..toks[depth-2]), keep i <= m (capped); target row i
-            # holds pos base+i (root ++ drafted), keep i <= m
+            # holds pos base+i (root ++ drafted), keep i <= m.
+            # Known trade (shared with device_loop's _reclaim convention):
+            # on a FULL accept (m == depth) the draft never decoded
+            # toks[depth-1], so the draft KV permanently lacks position
+            # base+depth — one token in depth+1 of future draft context.
+            # Output correctness is unaffected (the target verifies every
+            # committed token); the cost is a possible acceptance dent on
+            # real pairs. Closing it needs one extra draft forward per
+            # round (decode toks[depth-1] at base+depth), ~1/depth more
+            # draft time — left unpaid at the measured depths (8-32).
             dcache = _drop_rows(
                 dcache, dcell_row, jnp.arange(depth) < jnp.minimum(m + 1, depth)
             )
@@ -263,10 +272,5 @@ def launch(
 def reclaim(ctx: InferenceContext, cells, keep: int, base: int, seq_id: int):
     """Reconcile the host mirrors with the device truth for one retired
     run's cells: rows [0, keep) live at positions base+row on seq_id; the
-    program freed the rest (same contract as DeviceLoopEngine._reclaim)."""
-    flat = np.asarray(cells).reshape(-1)
-    if keep:
-        ctx.h_pos[flat[:keep]] = base + np.arange(keep)
-        ctx.h_seq[flat[:keep]] = kv.host_only(seq_id)
-    ctx.h_pos[flat[keep:]] = -1
-    ctx.h_seq[flat[keep:]] = 0
+    program freed the rest (the shared kv.reclaim_cells contract)."""
+    kv.reclaim_cells(ctx, cells, keep, base, seq_id)

@@ -44,7 +44,7 @@ import numpy as np
 
 from ..runtime import kv_cache as kv
 from ..runtime.context import Batch, InferenceContext, _device_draft_sample
-from .params import SpecParams
+from .params import SpecParams, entropy_seed
 from .sync_spec import SpecStats
 
 
@@ -199,14 +199,7 @@ class DeviceLoopEngine:
         self.rounds = rounds
         self.stats = SpecStats()
         self._seed = sampling.seed if sampling.seed >= 0 else None
-        # user seed, or real entropy when unseeded (`seed or 0` would alias
-        # seed=0 with unseeded and replay identical Gumbel draws every call)
-        if self._seed is not None:
-            self._seed_base = self._seed
-        else:
-            import os
-
-            self._seed_base = int.from_bytes(os.urandom(4), "little")
+        self._seed_base = entropy_seed(self._seed)
 
     def _loop_fn(self, depth: int):
         from . import fused
@@ -379,9 +372,4 @@ class DeviceLoopEngine:
     def _reclaim(self, ctx: InferenceContext, cells, keep: int, base: int):
         """Host-mirror reconcile for one round's cells: rows [0, keep) are
         live at positions base+row; the device invalidated the rest."""
-        flat = np.asarray(cells).reshape(-1)
-        if keep:
-            ctx.h_pos[flat[:keep]] = base + np.arange(keep)
-            ctx.h_seq[flat[:keep]] = kv.host_only(0)
-        ctx.h_pos[flat[keep:]] = -1
-        ctx.h_seq[flat[keep:]] = 0
+        kv.reclaim_cells(ctx, cells, keep, base)

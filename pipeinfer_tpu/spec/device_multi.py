@@ -46,7 +46,7 @@ import numpy as np
 from ..runtime import kv_cache as kv
 from ..runtime.context import Batch, CacheFull, InferenceContext, _device_draft_sample
 from .device_loop import supported
-from .params import SpecParams
+from .params import SpecParams, entropy_seed
 from .sync_spec import SpecStats
 
 
@@ -215,15 +215,7 @@ class BatchedDeviceLoop:
         self.eos_id = eos_id
         self.rounds = rounds
         self._seed = sampling.seed if sampling.seed >= 0 else None
-        # device PRNG base: the user's seed, or REAL entropy when unseeded —
-        # `(seed or 0)` would alias seed=0 with unseeded AND make unseeded
-        # stochastic runs replay the same Gumbel draws every call
-        if self._seed is not None:
-            self._seed_base = self._seed
-        else:
-            import os
-
-            self._seed_base = int.from_bytes(os.urandom(4), "little")
+        self._seed_base = entropy_seed(self._seed)
 
     def _loop_fn(self, depth: int):
         from . import fused
@@ -415,12 +407,7 @@ class BatchedDeviceLoop:
 
     def _reclaim(self, ctx: InferenceContext, cells, keep: int, base: int,
                  seq: int = 0):
-        flat = np.asarray(cells).reshape(-1)
-        if keep:
-            ctx.h_pos[flat[:keep]] = base + np.arange(keep)
-            ctx.h_seq[flat[:keep]] = kv.host_only(seq)
-        ctx.h_pos[flat[keep:]] = -1
-        ctx.h_seq[flat[keep:]] = 0
+        kv.reclaim_cells(ctx, cells, keep, base, seq)
 
 
 @dataclasses.dataclass
@@ -496,12 +483,7 @@ class DeviceLoopServer:
         self.eos_id = eos_id
         self.rounds = rounds
         self._seed = sampling.seed if sampling.seed >= 0 else None
-        if self._seed is not None:
-            self._seed_base = self._seed
-        else:
-            import os
-
-            self._seed_base = int.from_bytes(os.urandom(4), "little")
+        self._seed_base = entropy_seed(self._seed)
         self._key_i = 0
         self.lanes: list[LaneHandle | None] = [None] * n_lanes
         self.queue: list[LaneHandle] = []
@@ -608,7 +590,19 @@ class DeviceLoopServer:
             return 0
         take = []
         usable = min(self.tgt.n_cells, self.dft.n_cells) - 1
-        free_cells = int((self.tgt.h_pos < 0).sum()) - 1
+        # free cells minus running lanes' OUTSTANDING growth: the mirror
+        # only shows cells occupied so far, but every running lane will
+        # still claim its remaining n_predict commits plus a dispatch of
+        # scratch — admitting against the instantaneous count overcommits
+        # the pool and livelocks _dispatch (CacheFull forever, no lane can
+        # retire to free cells)
+        scratch = self.rounds * (2 * self.sp.n_draft + 1)
+        outstanding = sum(
+            max(0, h.n_predict - len(h.tokens)) + scratch
+            for h in self.lanes
+            if h is not None
+        )
+        free_cells = int((self.tgt.h_pos < 0).sum()) - 1 - outstanding
         for h in list(self.queue):
             if len(take) >= len(free):
                 break
@@ -821,13 +815,4 @@ class DeviceLoopServer:
             h.done = True
 
 
-def _reclaim_cells(ctx: InferenceContext, cells, keep: int, base: int,
-                   seq: int = 0):
-    """Reconcile host mirrors with device truth for one round's cells
-    (module-level twin of BatchedDeviceLoop._reclaim)."""
-    flat = np.asarray(cells).reshape(-1)
-    if keep:
-        ctx.h_pos[flat[:keep]] = base + np.arange(keep)
-        ctx.h_seq[flat[:keep]] = kv.host_only(seq)
-    ctx.h_pos[flat[keep:]] = -1
-    ctx.h_seq[flat[keep:]] = 0
+_reclaim_cells = kv.reclaim_cells

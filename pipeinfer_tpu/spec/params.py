@@ -154,3 +154,15 @@ class SpecParams:
     def p_adjust(self, iter_: int, n_rejected: int) -> float:
         """Adaptive speculation throttle (ref: speculative.cpp:846-848)."""
         return iter_ * self.p_recovery - max(n_rejected * self.p_decay, 0.0)
+
+
+def entropy_seed(seed: int | None) -> int:
+    """Device-PRNG base: the user's seed, or REAL entropy when unseeded —
+    `(seed or 0)` would alias seed=0 with unseeded AND make unseeded
+    stochastic runs replay the same Gumbel draws every call. Shared by
+    every device-sampling engine (device_loop, device_multi)."""
+    if seed is not None:
+        return seed
+    import os
+
+    return int.from_bytes(os.urandom(4), "little")

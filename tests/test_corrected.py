@@ -233,3 +233,24 @@ def test_p_chain_gate_cuts_dead_work(pair):
     # min_inflight — fewer doomed runs, less dead work and cancellation
     assert dead[0.9] < dead[0.0], (dead, canceled)
     assert canceled[0.9] <= canceled[0.0], (dead, canceled)
+
+
+def test_corrected_stall_surfaces_cachefull(pair, monkeypatch):
+    """An empty pipeline that cannot relaunch (shared-pool cell exhaustion)
+    must surface CacheFull from tick(), not read as `done` and silently
+    truncate the generation (review finding: _launch_corrected swallows
+    CacheFull, so `done` == True with fewer tokens than asked)."""
+    from pipeinfer_tpu.runtime.context import CacheFull
+
+    tgt, dft = pair
+    sp = SpecParams(n_draft=4, n_parallel=1, max_inflight=2,
+                    adapt_depth=False)
+    c = PipeInferController(_ctx(tgt), _ctx(dft), GREEDY, sp, eos_id=-1)
+    assert c.use_corrected
+    c.start_generation(list(PROMPT), N, ignore_eos=True)
+    monkeypatch.setattr(c, "_launch_corrected", lambda: False)
+    with pytest.raises(CacheFull):
+        for _ in range(64):
+            c.tick(block=True)
+            assert not c.done or len(c.generated) >= N, \
+                "controller read as done before the budget (silent truncation)"

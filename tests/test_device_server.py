@@ -193,3 +193,24 @@ def test_scheduler_seq_namespaces_disjoint(models):
     stride = 1 + 1 * 2
     assert sched.engine.max_streams <= (MAX_SEQS - 4) // stride
     assert sched.devsrv.seq_base == MAX_SEQS - 4
+
+
+def test_admit_reserves_running_lanes(models):
+    """Admission must reserve running lanes' outstanding n_predict + scratch:
+    two requests that each fit the pool alone but not together run
+    SEQUENTIALLY (review finding: admitting against the instantaneous free
+    count overcommits the pool and livelocks _dispatch on CacheFull)."""
+    tgt, dft = models
+    srv = DeviceLoopServer(_ctx(tgt, n_cells=176), _ctx(dft, n_cells=176),
+                           GREEDY, SpecParams(n_draft=4), n_lanes=2,
+                           seq_base=60, rounds=2, eos_id=-1)
+    h1 = srv.submit([3, 17, 42], 100)
+    h2 = srv.submit([5, 9, 11], 100)
+    srv.step()
+    running = [h for h in srv.lanes if h is not None]
+    assert len(running) == 1, "second request must wait for headroom"
+    assert len(srv.queue) == 1
+    srv.run_until_idle()
+    for h, p in ((h1, [3, 17, 42]), (h2, [5, 9, 11])):
+        assert h.done and h.error is None, h.error
+        assert h.tokens == _plain_greedy(tgt, p, 100)

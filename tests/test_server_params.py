@@ -189,3 +189,46 @@ def test_spec_scheduler_grammar_and_nprobs(model):
     assert len(req.probs) == len(req.generated)
     for toks, row in zip(req.generated, req.probs):
         assert row[0][0] == toks  # greedy commit == top candidate
+
+
+def test_top_probs_logit_bias_normalized():
+    """logit_bias must move the NORMALIZER too: probs are exact full-vocab
+    softmax probabilities of the BIASED distribution, never >1 (review
+    finding: vals were biased but exp(vals - lse) kept the pre-bias lse)."""
+    import numpy as np
+
+    from pipeinfer_tpu.sampling.samplers import (
+        SamplerState, SamplingParams, SparseLogits, top_probs,
+    )
+
+    rng = np.random.default_rng(3)
+    row = rng.normal(size=32).astype(np.float32)
+    order = np.argsort(-row)[:8]
+    sl = SparseLogits(
+        order.astype(np.int32), row[order],
+        float(np.log(np.exp(row.astype(np.float64)).sum())),
+    )
+    tid = int(order[0])
+    p = SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0,
+                       logit_bias={tid: 10.0})
+    probs = dict(top_probs(SamplerState(params=p), sl, 8))
+
+    biased = row.astype(np.float64).copy()
+    biased[tid] += 10.0
+    want = np.exp(biased) / np.exp(biased).sum()
+    assert 0.0 <= probs[tid] <= 1.0
+    assert abs(probs[tid] - want[tid]) < 1e-4, (probs[tid], want[tid])
+    for t, v in probs.items():
+        assert abs(v - want[t]) < 1e-4
+    # ban form: a large negative bias removes the token's mass and the
+    # remaining window renormalizes against the shrunken Z
+    p2 = SamplingParams(temp=0.0, penalty_repeat=1.0, penalty_last_n=0,
+                        logit_bias={tid: -1e9})
+    probs2 = dict(top_probs(SamplerState(params=p2), sl, 8))
+    banned = row.astype(np.float64).copy()
+    Z2 = np.exp(banned).sum() - np.exp(banned[tid])
+    for t, v in probs2.items():
+        if t == tid:
+            assert v <= 1e-6
+        else:
+            assert abs(v - np.exp(banned[t]) / Z2) < 1e-4
